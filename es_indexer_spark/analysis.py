@@ -1,0 +1,293 @@
+"""Text analysis chain — vectorized pandas implementations of the reference's
+Elasticsearch analyzers.
+
+Reference (declarative analyzer specs consumed by ES):
+``stacmodel/src/main/resources/schema/portal_records_index_schema.json``:
+- ``standard`` tokenizer + ``lowercase`` — the analyzer BM25-scored ``text``
+  fields are indexed with (``title`` / ``description`` use the default
+  standard analyzer: schema lines 100-111, 161-169);
+- ``shingle_analyser`` (schema lines 15-31): html_strip char filter, then
+  lowercase → asciifolding → remove_numbers → uuid_filter →
+  non_standard_pattern_filter → et_al_stop → english_stop → length_filter
+  (min 2) → token_limit (350) → shingle (2-4 grams + unigrams) → unique;
+  post-processed by ``IndexerMetadataServiceImpl.java:186-193`` (strip ``_``,
+  collapse spaces, drop empties);
+- ``acronym_search_analyser`` (query-time synonym_graph expansion,
+  schema lines 10-14, 39-43).
+
+Everything here is pandas-vectorized (Arrow batches in Spark) — no per-row
+Python in the hot path, per BASELINE.json input_hint. The same functions are
+used at index time and query time, which guarantees index/query analyzer
+symmetry (the reference gets this from ES's ``_analyze`` endpoint, exercised
+at ``IndexerMetadataServiceImpl.java:172-195``).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+# Approximation of Lucene's UAX#29 "standard" tokenizer: maximal runs of
+# letters/digits (underscore is a breaking char, unlike Python's \w).
+# Mirrored exactly in DuckDB oracle SQL as
+#   regexp_extract_all(lower(text), '[\p{L}\p{N}]+')
+# so Spark-vs-DuckDB value hashes line up.
+TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# SQL mirror fragment used by __spark_entry__.oracle_sql()
+TOKEN_RE_SQL = r"[\p{L}\p{N}]+"
+
+# Lucene's _english_ stop set (public, org.apache.lucene.analysis.en
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET) — referenced by the schema's
+# english_stop filter ("stopwords": "_english_").
+ENGLISH_STOP = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+ET_AL_STOP = frozenset({"et", "al", "et al", "et.", "al."})
+
+UUID_RE = re.compile(
+    r"[a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-[a-fA-F0-9]{12}"
+)
+NUMBERS_RE = re.compile(r"\b\d+\b")
+NON_STANDARD_RE = re.compile(r".*[^a-zA-Z\- ].*")
+HTML_RE = re.compile(r"<[^>]*>")
+
+MAX_TOKENS = 350  # schema token_limit — ES circuit-breaker guard
+SHINGLE_MIN, SHINGLE_MAX = 2, 4
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Index analyzer: standard-ish tokenize + lowercase.
+
+    This is the analyzer the BM25 index is built on (reference: default
+    standard analyzer on ``title``/``description`` text fields).
+    Returns a Series of list[str].
+    """
+    return texts.fillna("").str.lower().str.findall(TOKEN_RE)
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Single-string convenience wrapper (query analysis, tests)."""
+    return TOKEN_RE.findall((text or "").lower())
+
+
+def analyze(text: str, analyzer: str = "index") -> list[str]:
+    """Standalone analysis — the ``_analyze`` endpoint analogue (SURVEY Q9;
+    reference call site ``IndexerMetadataServiceImpl.java:177-195``)."""
+    s = pd.Series([text])
+    if analyzer == "index":
+        return list(tokenize_series(s).iloc[0])
+    if analyzer == "suggest":
+        return list(suggest_tokens_series(s).iloc[0])
+    if analyzer == "english_stop":
+        return [t for t in tokenize_py(text) if t not in ENGLISH_STOP]
+    raise ValueError(f"unknown analyzer: {analyzer}")
+
+
+# --------------------------------------------------------------------------
+# Suggestion-field analyzer (shingle_analyser chain, T1-T14)
+# --------------------------------------------------------------------------
+
+
+def _ascii_fold(tok: str) -> str:
+    return unicodedata.normalize("NFKD", tok).encode("ascii", "ignore").decode("ascii")
+
+
+def _shingle_chain(text: str) -> list[str]:
+    """Token-stream filters of shingle_analyser, in schema order."""
+    text = HTML_RE.sub(" ", text or "")
+    toks = [t.lower() for t in TOKEN_RE.findall(text)]
+    out: list[str] = []
+    for t in toks:
+        t = _ascii_fold(t)
+        t = NUMBERS_RE.sub("", t)
+        t = UUID_RE.sub("", t)
+        if NON_STANDARD_RE.fullmatch(t):
+            t = ""
+        if not t or t in ET_AL_STOP or t in ENGLISH_STOP:
+            # stop filters remove the token from the stream entirely
+            # (shingles bridge the gap with "_" in ES; we mirror the
+            # post-cleanup at IndexerMetadataServiceImpl.java:186-193 which
+            # strips fillers anyway, so we drop them up front)
+            continue
+        if len(t) < 2:
+            continue
+        out.append(t)
+        if len(out) >= MAX_TOKENS:
+            break
+    return out
+
+
+def _shingles(toks: list[str]) -> list[str]:
+    out = list(toks)  # output_unigrams: true
+    n = len(toks)
+    for size in range(SHINGLE_MIN, SHINGLE_MAX + 1):
+        for i in range(n - size + 1):
+            out.append(" ".join(toks[i : i + size]))
+    # "unique" filter: order-preserving dedupe
+    return list(dict.fromkeys(out))
+
+
+def suggest_tokens_series(texts: pd.Series) -> pd.Series:
+    """Full shingle_analyser chain → unique 1-4-gram phrase set per row.
+
+    Powers the search_suggestions field (reference golden test:
+    ``IndexerServiceIT.verifyAbstractPhrases``, IT lines 509-651).
+    """
+    return texts.map(lambda t: _shingles(_shingle_chain(t)))
+
+
+# --------------------------------------------------------------------------
+# Spark UDFs (Arrow-vectorized)
+# --------------------------------------------------------------------------
+
+tokenize_udf = F.pandas_udf(tokenize_series, T.ArrayType(T.StringType()))
+suggest_tokens_udf = F.pandas_udf(suggest_tokens_series, T.ArrayType(T.StringType()))
+
+
+@F.pandas_udf(T.IntegerType())
+def doc_length_udf(texts: pd.Series) -> pd.Series:
+    """Token count per document (dl for BM25 norms)."""
+    return tokenize_series(texts).map(len).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Term-frequency extraction (map-side combine in Python)
+# --------------------------------------------------------------------------
+
+
+def term_freqs_batch(texts: pd.Series, with_positions: bool = False) -> pd.DataFrame:
+    """Per-document term frequencies, vectorized over a batch of texts.
+
+    Computes tf inside the Arrow batch so the Spark shuffle carries one row
+    per distinct (doc, term) instead of one per token occurrence — the
+    map-side-combine that keeps shuffle volume sane at 10^12 turns.
+
+    Returns a DataFrame with columns (row <int64 local row index>,
+    term, tf <int32>, dl <int32>[, positions list[int32]]).
+    """
+    tok_lists = tokenize_series(texts)
+    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        cols = {"row": [], "term": [], "tf": [], "dl": []}
+        if with_positions:
+            cols["positions"] = []
+        return pd.DataFrame(cols)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    row_ids = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    if with_positions:
+        # position of each token within its doc
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(lens.sum(), dtype=np.int32) - np.repeat(starts, lens)
+        df = pd.DataFrame({"row": row_ids, "term": flat, "pos": pos})
+        g = (
+            df.groupby(["row", "term"], sort=False)["pos"]
+            .agg(list)
+            .reset_index()
+            .rename(columns={"pos": "positions"})
+        )
+        g["tf"] = g["positions"].map(len).astype(np.int32)
+    else:
+        df = pd.DataFrame({"row": row_ids, "term": flat})
+        g = df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype(np.int32)
+    g["dl"] = lens[g["row"].to_numpy()].astype(np.int32)
+    return g
+
+
+# --------------------------------------------------------------------------
+# Synonyms (acronym_search_analyser analogue)
+# --------------------------------------------------------------------------
+
+
+class SynonymSet:
+    """Query-time synonym expansion — the reference's updatable
+    ``synonym_graph`` set (schema lines 39-43), pushed by
+    ``AcronymService.java:412-420`` in ``"acronym => full name"`` rule form.
+
+    Versioned replace/read mirrors the PUT/GET endpoints (SURVEY Q10).
+    """
+
+    def __init__(self, rules: list[str] | None = None, version: int = 0):
+        self.version = version
+        self.mapping: dict[str, list[list[str]]] = {}
+        for rule in rules or []:
+            self.add_rule(rule)
+
+    def add_rule(self, rule: str) -> None:
+        if "=>" not in rule:
+            return
+        lhs, rhs = rule.split("=>", 1)
+        for src in lhs.split(","):
+            src_toks = tuple(tokenize_py(src))
+            if not src_toks:
+                continue
+            key = " ".join(src_toks)
+            expansions = [tokenize_py(alt) for alt in rhs.split(",") if alt.strip()]
+            self.mapping.setdefault(key, []).extend(e for e in expansions if e)
+
+    def replace(self, rules: list[str]) -> None:
+        """Full replace (PUT synonyms) — bumps version (AcronymService:156-169)."""
+        self.mapping = {}
+        for r in rules:
+            self.add_rule(r)
+        self.version += 1
+
+    def expand(self, tokens: list[str]) -> list[list[str]]:
+        """Expand a token list: each token → [original] + flattened expansion
+        terms. Multi-token expansions contribute each of their terms to the
+        OR group (documented simplification of ES's synonym_graph phrase
+        branches — we score expansions term-wise)."""
+        out: list[list[str]] = []
+        for t in tokens:
+            group = [t]
+            for exp in self.mapping.get(t, []):
+                for w in exp:
+                    if w not in group:
+                        group.append(w)
+            out.append(group)
+        return out
+
+
+def build_acronym_rules(labels: list[str], manual_rules: list[str] | None = None) -> list[str]:
+    """Acronym rule construction — the 10-step pipeline of
+    ``AcronymService.buildAcronymList`` (AcronymService.java:218-244):
+    heuristic acronym detection (len ≤ 12, has a capital, no run of 2+
+    lowercase: :328-347), rule per concept ``acronym => fullname``,
+    normalize (lowercase/trim, reject ',' and '=>' in labels: :353-359),
+    drop known-bad {co2, sst l2p}, strip parenthesised text, append manual
+    rules, dedupe, sort.
+    """
+    bad = {"co2", "sst l2p"}
+    rules: list[str] = []
+    for label in labels:
+        label = re.sub(r"\([^)]*\)", "", label or "").strip()
+        if "(" in (label or ""):
+            continue
+        m = re.match(r"^(.*?)\s*-\s*(.*)$", label) if " - " in label else None
+        # labels of the form "ACRONYM - Full Name" or "Full Name (ACR)"
+        cand_pairs: list[tuple[str, str]] = []
+        if m:
+            cand_pairs = [(m.group(1), m.group(2)), (m.group(2), m.group(1))]
+        for acr, full in cand_pairs:
+            acr_s, full_s = acr.strip(), full.strip()
+            if not acr_s or not full_s:
+                continue
+            if len(acr_s) <= 12 and re.search(r"[A-Z]", acr_s) and not re.search(
+                r"[a-z]{2}", acr_s
+            ):
+                a, f = acr_s.lower().strip(), full_s.lower().strip()
+                if "," in a or "=>" in a or "," in f or "=>" in f or a in bad:
+                    continue
+                rules.append(f"{a} => {f}")
+    rules.extend(manual_rules or [])
+    return sorted(dict.fromkeys(rules))
