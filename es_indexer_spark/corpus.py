@@ -1,0 +1,208 @@
+"""Transcript corpus: deterministic synthetic generator + document identity.
+
+The engine's primary input (BASELINE.json ``input_hint``) is a table of
+multi-turn conversation / agent transcripts:
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)``. Document unit = one turn; ``doc_id = conv_id || ':' ||
+turn_idx`` — the analogue of the reference's ``_id = uuid`` upsert key
+(``IndexerMetadataServiceImpl.java:430-434``).
+
+Doc ordinals: a dense int64 assigned in stable ``(conv_id, turn_idx)`` order
+— the compressible docID space postings are delta-encoded over. Assignment
+is the scalable two-pass scheme (range partition → per-partition counts →
+offset cumsum → per-partition enumeration), NOT a single global window,
+so it survives 10^12 rows: the only driver-side state is one count per
+partition.
+
+Generation is distributed (``spark.range`` → ``mapInPandas``) and seeded
+per-conversation, so the corpus is identical regardless of parallelism —
+the property the local[8]-vs-local[32] scaling run depends on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+ROLE_P = np.array([0.45, 0.45, 0.02, 0.08])
+TOOLS = np.array(["bash", "search", "browser", "editor", "python"])
+
+_SYLLABLES = [
+    "ba", "co", "da", "el", "fi", "gu", "ha", "in", "jo", "ka",
+    "lu", "me", "no", "or", "pa", "qui", "ra", "su", "ta", "ve",
+]
+
+
+def _vocabulary(size: int = 5000) -> np.ndarray:
+    """Deterministic pseudo-word vocabulary; rank order = Zipf rank."""
+    words = []
+    i = 0
+    while len(words) < size:
+        a = _SYLLABLES[i % 20]
+        b = _SYLLABLES[(i // 20) % 20]
+        c = _SYLLABLES[(i // 400) % 20]
+        words.append(a + b + (c if i >= 400 else ""))
+        i += 1
+    return np.array(words, dtype=object)
+
+
+# Fixture oddities sprinkled in to exercise every analyzer stage (FIXTURES.md §1)
+_ODDITIES = np.array(
+    [
+        "the", "and", "of", "to", "is",  # stop words (hot terms)
+        "42", "2024",  # bare numbers
+        "café",  # diacritics
+        "et", "al.",  # et-al stop fixture
+        "<b>bold</b>",  # html fragment
+        "123e4567-e89b-12d3-a456-426614174000",  # uuid-shaped token
+    ],
+    dtype=object,
+)
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int = 200,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic Zipfian transcript corpus (hot terms exercise the
+    skew-mitigation path), generated in parallel on executors."""
+    vocab = _vocabulary()
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    zipf_p = 1.0 / (ranks + 2.7)
+    zipf_p /= zipf_p.sum()
+    base_epoch = 1_700_000_000  # fixed; no wall-clock
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for conv in pdf["id"].to_numpy():
+                rng = np.random.default_rng(seed * 1_000_003 + int(conv))
+                n_tokens = rng.integers(5, 60, size=turns_per_conv)
+                total = int(n_tokens.sum())
+                toks = rng.choice(vocab, size=total, p=zipf_p)
+                odd_mask = rng.random(total) < 0.03
+                toks[odd_mask] = rng.choice(_ODDITIES, size=int(odd_mask.sum()))
+                roles = rng.choice(ROLES, size=turns_per_conv, p=ROLE_P)
+                tools = np.where(
+                    roles == "tool", rng.choice(TOOLS, size=turns_per_conv), None
+                )
+                bounds = np.concatenate(([0], np.cumsum(n_tokens)))
+                texts = [
+                    " ".join(toks[bounds[i] : bounds[i + 1]])
+                    for i in range(turns_per_conv)
+                ]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": f"conv{int(conv):08d}",
+                            "turn_idx": np.arange(turns_per_conv, dtype=np.int32),
+                            "role": roles,
+                            "text": texts,
+                            "tool": tools,
+                            "ts": pd.to_datetime(
+                                base_epoch
+                                + int(conv) * 3600
+                                + np.arange(turns_per_conv) * 7,
+                                unit="s",
+                            ),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    parts = partitions or max(1, min(n_convs, spark.sparkContext.defaultParallelism))
+    return spark.range(0, n_convs, numPartitions=parts).mapInPandas(
+        gen, TRANSCRIPT_SCHEMA
+    )
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver-provided ``documents`` table to the transcript shape
+    so the same engine runs over it (doc_id → conv_id, single-turn convs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),  # stands in for a boostable field
+        F.col("text"),
+        F.col("source").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def assign_doc_ordinals(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense int64 ``doc_ord`` in stable ``key_cols`` order, scalably.
+
+    Two passes over one range-partitioned, sorted shuffle:
+    1. count rows per physical partition (driver holds one long per
+       partition — O(partitions), not O(rows));
+    2. per-partition enumeration offset by the exclusive prefix sum.
+
+    Range partitioning guarantees partition p's keys all precede partition
+    p+1's, and the within-partition sort orders the rest, so ordinals are
+    globally consistent with ``ORDER BY key_cols``.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    part.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    schema = T.StructType(part.schema.fields + [T.StructField("doc_ord", T.LongType(), False)])
+
+    def enumerate_partition(batches):
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = offsets[pid] + seen.get(pid, 0)
+            pdf = pdf.copy()
+            pdf["doc_ord"] = np.arange(start, start + len(pdf), dtype=np.int64)
+            seen[pid] = seen.get(pid, 0) + len(pdf)
+            yield pdf
+
+    out = part.mapInPandas(enumerate_partition, schema).drop("_pid")
+    return out
+
+
+def with_doc_ids(df: DataFrame) -> DataFrame:
+    """doc_id = conv_id:turn_idx (reference ``_id`` analogue)."""
+    return df.withColumn(
+        "doc_id", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    )
