@@ -26,3 +26,15 @@ see /root/reference) as an idiomatic Spark engine:
 __version__ = "0.1.0"
 
 from es_indexer_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):  # lazy imports keep `import es_indexer_spark` cheap
+    if name == "build_index":
+        from es_indexer_spark.index import build_index
+
+        return build_index
+    if name == "IndexSearcher":
+        from es_indexer_spark.query import IndexSearcher
+
+        return IndexSearcher
+    raise AttributeError(name)

@@ -35,6 +35,11 @@ def _varint_nbytes(values: np.ndarray) -> np.ndarray:
     return nb
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Public alias: per-value LEB128 byte counts (for segmented slicing)."""
+    return _varint_nbytes(np.asarray(values, dtype=np.uint64))
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """Vectorized LEB128 encode of a uint64 array."""
     v = np.ascontiguousarray(values, dtype=np.uint64)

@@ -198,6 +198,9 @@ def assign_doc_ordinals(
             yield pdf
 
     out = part.mapInPandas(enumerate_partition, schema).drop("_pid")
+    # let callers release the cached shuffle once downstream stages are
+    # materialized (build_index unpersists after doc_stats is written)
+    out._persisted_parent = part
     return out
 
 

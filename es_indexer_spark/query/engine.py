@@ -1,0 +1,408 @@
+"""IndexSearcher — the retrieval surface of the engine.
+
+Re-expresses the reference's query operators (SURVEY §2.6) over the
+parquet index that ``index.build`` writes:
+
+- Q1/Q2  ``ids``/``term`` exact lookup          → ``get`` / doc_stats filter
+- Q3     ``match_phrase``                        → positional postings + adjacency
+- Q4     ``match_all + sort + search_after``     → ``scan_after`` keyset pagination
+- Q5     ``match`` with synonym expansion        → broadcast SynonymSet → OR
+- Q6     ``multi_match bool_prefix`` + fuzziness → ``suggest`` (prefix + fuzzy
+         expansion against the term dictionary, per-term boosts)
+- Q7     count-only                              → ``count``
+- Q8     top-k BM25                              → ``search`` (block-max pruned,
+         exhaustive referee path), deterministic (score desc, doc_ord asc)
+- Q9     ``_analyze``                            → ``analysis.analyze``
+
+Two execution paths:
+
+- **driver path** (default): posting chunks for the query terms are read
+  straight through pyarrow.dataset with partition (tbucket) + row-group
+  (term — files are term-sorted) pruning, no Spark job — millisecond
+  latency, the analogue of ES answering a query from one coordinating
+  node. Valid while the per-query working set (a few terms' postings)
+  fits the driver; norms are memory-mapped per corpus.
+- **distributed path** (``search_df``): posting rows for the query terms
+  are cogrouped with doc_stats by segment; each Spark task runs the same
+  numpy kernel over its segment (= shard) and emits a local top-k; a
+  global sort of the tiny union gathers the final top-k — Lucene's
+  shard fan-out/merge mapped 1:1 onto Spark partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis import SynonymSet, tokenize_py
+from ..index import catalog
+from ..index.build import term_bucket
+from . import scoring
+
+_POSTING_COLS = [
+    "term", "seg", "min_doc", "max_doc", "df_chunk",
+    "doc_bytes", "tf_bytes", "block_last", "block_max_tf", "block_min_dl",
+    "pos_bytes",
+]
+
+
+def auto_fuzziness(term: str) -> int:
+    """ES ``fuzziness: AUTO`` (exercised at IndexerServiceIT.java:228):
+    edit distance 0 for <3 chars, 1 for 3-5, 2 for >=6."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str, version_dir: str | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        vdir = version_dir or catalog.current_version_dir(index_dir)
+        if vdir is None:
+            raise FileNotFoundError(f"no published index version in {index_dir}")
+        self.vdir = vdir
+        self.manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.n_buckets = int(self.manifest["n_buckets"])
+        self._postings_ds = pads.dataset(
+            os.path.join(vdir, "postings"), partitioning="hive", format="parquet"
+        )
+        self._doc_ds = pads.dataset(os.path.join(vdir, "doc_stats"), format="parquet")
+        self._norms: dict | None = None
+        self._term_dict: pd.DataFrame | None = None
+        self.synonyms = SynonymSet()
+
+    # ------------------------------------------------------------------ IO
+    def _postings_pdf(self, terms: list[str]) -> pd.DataFrame:
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        filt = pc.field("tbucket").isin(buckets) & pc.field("term").isin(terms)
+        tbl = self._postings_ds.to_table(columns=_POSTING_COLS, filter=filt)
+        pdf = tbl.to_pandas()
+        return pdf.sort_values(["term", "seg", "min_doc"]).reset_index(drop=True)
+
+    def _load_norms(self) -> dict:
+        """Dense doc_ord-indexed arrays (dl, role, tool, conv_id, turn_idx).
+        Driver-path only; the distributed path streams these per segment."""
+        if self._norms is None:
+            tbl = self._doc_ds.to_table(
+                columns=["doc_ord", "dl", "role", "tool", "conv_id", "turn_idx", "doc_id"]
+            )
+            pdf = tbl.to_pandas().sort_values("doc_ord").reset_index(drop=True)
+            self._norms = {
+                "dl": pdf["dl"].to_numpy(np.int64),
+                "role": pdf["role"].to_numpy(object),
+                "tool": pdf["tool"].to_numpy(object),
+                "doc_id": pdf["doc_id"].to_numpy(object),
+                "conv_id": pdf["conv_id"].to_numpy(object),
+                "turn_idx": pdf["turn_idx"].to_numpy(np.int64),
+            }
+        return self._norms
+
+    def term_dictionary(self) -> pd.DataFrame:
+        if self._term_dict is None:
+            self._term_dict = (
+                pads.dataset(os.path.join(self.vdir, "term_stats"), format="parquet")
+                .to_table(columns=["term", "df", "total_tf"])
+                .to_pandas()
+                .sort_values("term")
+                .reset_index(drop=True)
+            )
+        return self._term_dict
+
+    def _views(self, terms: list[str], pdf: pd.DataFrame | None = None) -> list[scoring.TermView]:
+        pdf = self._postings_pdf(terms) if pdf is None else pdf
+        views = []
+        for t in sorted(set(terms)):
+            chunks = pdf[pdf["term"] == t]
+            views.append(
+                scoring.TermView(t, chunks, int(chunks["df_chunk"].sum()), self.n_docs)
+            )
+        return views
+
+    def _boost_arrays(self, role_boosts, tool_boosts):
+        if not role_boosts and not tool_boosts:
+            return None, 1.0
+        nm = self._load_norms()
+        boost = np.ones(self.n_docs, dtype=np.float64)
+        if role_boosts:
+            for r, w in role_boosts.items():
+                boost[nm["role"] == r] *= w
+        if tool_boosts:
+            for t, w in tool_boosts.items():
+                boost[nm["tool"] == t] *= w
+        return boost, float(boost.max()) if len(boost) else 1.0
+
+    def _materialize(self, doc_ords: np.ndarray, scores: np.ndarray) -> pd.DataFrame:
+        nm = self._load_norms()
+        return pd.DataFrame(
+            {
+                "doc_ord": doc_ords,
+                "doc_id": nm["doc_id"][doc_ords],
+                "conv_id": nm["conv_id"][doc_ords],
+                "turn_idx": nm["turn_idx"][doc_ords],
+                "role": nm["role"][doc_ords],
+                "score": scores,
+            }
+        )
+
+    # --------------------------------------------------------------- query
+    def analyze_query(self, query: str | list[str], expand_synonyms: bool = False) -> list[str]:
+        terms = tokenize_py(query) if isinstance(query, str) else list(query)
+        if expand_synonyms and self.synonyms.mapping:
+            terms = [w for g in self.synonyms.expand(terms) for w in g]
+        # dedupe, keep deterministic order
+        return list(dict.fromkeys(terms))
+
+    def search(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        *,
+        mode: str = "or",
+        strategy: str = "blockmax",
+        role_boosts: dict[str, float] | None = None,
+        tool_boosts: dict[str, float] | None = None,
+        expand_synonyms: bool = False,
+    ) -> pd.DataFrame:
+        """Driver-path top-k BM25. Returns (doc_ord, doc_id, conv_id,
+        turn_idx, role, score) sorted (score desc, doc_ord asc)."""
+        terms = self.analyze_query(query, expand_synonyms)
+        views = self._views(terms)
+        nm = self._load_norms()
+        boost_of, max_boost = self._boost_arrays(role_boosts, tool_boosts)
+        kern = scoring.blockmax_topk if strategy == "blockmax" else scoring.exhaustive_topk
+        kwargs = dict(dl_base=0, boost_of=boost_of, mode=mode)
+        if strategy == "blockmax":
+            kwargs["max_boost"] = max_boost
+        docs, scores = kern(views, nm["dl"], self.avgdl, k, **kwargs)
+        return self._materialize(docs, scores)
+
+    def count(self, query: str | list[str], mode: str = "or") -> int:
+        """Q7 size(0) total-hits count."""
+        terms = self.analyze_query(query)
+        views = [v for v in self._views(terms) if v.df > 0]
+        if not views:
+            return 0
+        if mode == "and" and len(views) < len(set(terms)):
+            return 0
+        sets = [v.decode_all()[0] for v in views]
+        acc = sets[0]
+        for s in sets[1:]:
+            acc = np.intersect1d(acc, s) if mode == "and" else np.union1d(acc, s)
+        return int(len(acc))
+
+    def phrase_search(self, phrase: str, k: int = 10) -> pd.DataFrame:
+        """match_phrase: adjacent in-order terms (unscored filter in the
+        reference; we also return BM25 scores of the AND-group for ranking)."""
+        terms = tokenize_py(phrase) if isinstance(phrase, str) else list(phrase)
+        views = self._views(terms)
+        if any(v.df == 0 for v in views):
+            return self._materialize(np.zeros(0, np.int64), np.zeros(0, np.float64))
+        sets = [v.decode_all()[0] for v in views]
+        inter = sets[0]
+        for s in sets[1:]:
+            inter = np.intersect1d(inter, s)
+        # adjacency check needs views in QUERY order (term i at position p+i),
+        # not the sorted order _views returns
+        by_term = {v.term: v for v in views}
+        ordered = [by_term[t] for t in terms]
+        hits = scoring.phrase_docs(ordered, inter) if len(terms) > 1 else inter
+        nm = self._load_norms()
+        # score every AND-matching doc, keep the phrase hits, then top-k
+        docs, scores = scoring.exhaustive_topk(
+            views, nm["dl"], self.avgdl, k=max(1, len(inter)), mode="and"
+        )
+        keep = np.isin(docs, hits)
+        docs, scores = docs[keep][:k], scores[keep][:k]
+        return self._materialize(docs, scores)
+
+    # ------------------------------------------------- dictionary expansion
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Term-dictionary range scan (search_as_you_type / bool_prefix
+        analogue). Highest-df expansions first (ES default ordering)."""
+        d = self.term_dictionary()
+        terms = d["term"].to_numpy(object)
+        lo = np.searchsorted(terms, prefix, side="left")
+        hi = np.searchsorted(terms, prefix + "￿", side="right")
+        cand = d.iloc[lo:hi].nlargest(max_expansions, "df")
+        return cand["term"].tolist()
+
+    def expand_fuzzy(self, term: str, max_edits: int | None = None, max_expansions: int = 50) -> list[str]:
+        """AUTO-fuzziness expansion against the term dictionary. Driver-side
+        over the cached dictionary; the scale path is the same predicate as
+        a Spark filter (F.length + F.levenshtein) over term_stats."""
+        d = auto_fuzziness(term) if max_edits is None else max_edits
+        td = self.term_dictionary()
+        if d == 0:
+            return [term] if (td["term"] == term).any() else []
+        lens = td["term"].str.len()
+        cand = td[(lens >= len(term) - d) & (lens <= len(term) + d)]
+
+        def within(a: str, b: str, dmax: int) -> bool:
+            if a == b:
+                return True
+            # banded Levenshtein with early exit
+            la, lb = len(a), len(b)
+            if abs(la - lb) > dmax:
+                return False
+            prev = list(range(lb + 1))
+            for i in range(1, la + 1):
+                cur = [i] + [0] * lb
+                lo = max(1, i - dmax)
+                hi = min(lb, i + dmax)
+                if lo > 1:
+                    cur[lo - 1] = dmax + 1
+                for j in range(lo, hi + 1):
+                    cur[j] = min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+                if min(cur[lo : hi + 1]) > dmax:
+                    return False
+                prev = cur
+            return prev[lb] <= dmax
+
+        hits = cand[cand["term"].map(lambda t: within(term, t, d))]
+        return hits.nlargest(max_expansions, "df")["term"].tolist()
+
+    def suggest(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        fuzzy: bool = True,
+        role_boosts: dict[str, float] | None = None,
+    ) -> pd.DataFrame:
+        """Search-as-you-type: ``multi_match bool_prefix`` analogue
+        (IndexerServiceIT.java:219-238) — all tokens but the last as terms
+        (fuzzy-expanded when enabled), the last as a prefix OR-group."""
+        toks = tokenize_py(query)
+        if not toks:
+            return self._materialize(np.zeros(0, np.int64), np.zeros(0, np.float64))
+        terms: list[str] = []
+        for t in toks[:-1]:
+            terms.extend(self.expand_fuzzy(t) if fuzzy else [t])
+        terms.extend(self.expand_prefix(toks[-1]) or [toks[-1]])
+        return self.search(list(dict.fromkeys(terms)), k, role_boosts=role_boosts)
+
+    # ------------------------------------------------------ scan/point ops
+    def doc_stats_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.vdir, "doc_stats"))
+
+    def get(self, doc_id: str) -> pd.DataFrame:
+        """Q1 ids lookup (point fetch, parquet predicate pushdown)."""
+        return (
+            self._doc_ds.to_table(filter=pc.field("doc_id") == doc_id)
+            .to_pandas()
+        )
+
+    def scan_after(
+        self, cursor: tuple[str, int] | None = None, page_size: int = 100
+    ) -> DataFrame:
+        """Q4 match_all + stable sort + search_after keyset pagination
+        (GeoNetworkServiceImpl.java:585-603). Predicate pushes to parquet;
+        no deep-offset skip."""
+        df = self.doc_stats_df().select("conv_id", "turn_idx", "doc_id", "role", "text")
+        if cursor is not None:
+            c, t = cursor
+            df = df.filter(
+                (F.col("conv_id") > c)
+                | ((F.col("conv_id") == c) & (F.col("turn_idx") > t))
+            )
+        return df.orderBy("conv_id", "turn_idx").limit(page_size)
+
+    # ------------------------------------------------------ distributed path
+    def search_df(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        *,
+        mode: str = "or",
+        strategy: str = "blockmax",
+        role_boosts: dict[str, float] | None = None,
+        tool_boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Segment-parallel top-k: every segment (= shard) scores its own
+        doc range with the same numpy kernel, emits a local top-k, and the
+        tiny union is globally sorted. Scales to any corpus the build
+        scaled to — no driver-side norms."""
+        terms = self.analyze_query(query)
+        uniq_terms = sorted(set(terms))
+        # global df per term from the dictionary (needed for idf — df is a
+        # corpus-wide statistic, not per-segment)
+        td = self.term_dictionary()
+        dfs = {t: int(td.loc[td["term"] == t, "df"].sum()) for t in uniq_terms}
+        if mode == "and" and any(dfs[t] == 0 for t in uniq_terms):
+            return self.spark.createDataFrame(
+                [],
+                "doc_ord long, doc_id string, conv_id string, turn_idx int, "
+                "role string, score double",
+            )
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in uniq_terms})
+        postings = (
+            self.spark.read.parquet(os.path.join(self.vdir, "postings"))
+            .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(uniq_terms))
+            .select(*_POSTING_COLS)
+        )
+        doc_side = self.doc_stats_df().select("seg", "doc_ord", "dl", "role", "tool")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        rb, tb = role_boosts or {}, tool_boosts or {}
+        max_boost = max([1.0] + list(rb.values()) + list(tb.values()))
+
+        def score_seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
+            if len(pq) == 0 or len(dq) == 0:
+                return pd.DataFrame({"doc_ord": [], "score": []})
+            dq = dq.sort_values("doc_ord")
+            base = int(dq["doc_ord"].iloc[0])
+            dl_of = dq["dl"].to_numpy(np.int64)
+            boost_of = None
+            if rb or tb:
+                boost_of = np.ones(len(dq), dtype=np.float64)
+                roles = dq["role"].to_numpy(object)
+                tools = dq["tool"].to_numpy(object)
+                for r, w in rb.items():
+                    boost_of[roles == r] *= w
+                for t, w in tb.items():
+                    boost_of[tools == t] *= w
+            pq = pq.sort_values(["term", "seg", "min_doc"])
+            views = [
+                scoring.TermView(t, pq[pq["term"] == t], dfs[t], n_docs)
+                for t in uniq_terms
+                if dfs[t] > 0
+            ]
+            kern = (
+                scoring.blockmax_topk if strategy == "blockmax" else scoring.exhaustive_topk
+            )
+            kw = dict(dl_base=base, boost_of=boost_of, mode=mode)
+            if strategy == "blockmax":
+                kw["max_boost"] = max_boost
+            docs, scores = kern(views, dl_of, avgdl, k, **kw)
+            return pd.DataFrame({"doc_ord": docs, "score": scores})
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_ord", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        local = (
+            postings.groupBy("seg")
+            .cogroup(doc_side.groupBy("seg"))
+            .applyInPandas(lambda key, pq, dq: score_seg(pq, dq), out_schema)
+        )
+        top = local.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+        return top.join(
+            self.doc_stats_df().select("doc_ord", "doc_id", "conv_id", "turn_idx", "role"),
+            "doc_ord",
+        ).select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score").orderBy(
+            F.desc("score"), F.asc("doc_ord")
+        )

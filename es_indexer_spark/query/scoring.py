@@ -1,0 +1,286 @@
+"""Top-k BM25 scoring kernels (numpy) over encoded posting chunks.
+
+Two exact strategies, both rank-identical to the brute-force oracle:
+
+- ``exhaustive``: decode every chunk of every query term, score every
+  matching doc. The referee path and the fast path for short postings.
+- ``blockmax``: block-max pruned scoring. Per-128-posting blocks carry
+  (last_doc, max_tf, min_dl) — an avgdl-free impact ceiling (see
+  ``bm25.tf_norm_ceiling``). We sweep the doc-ordinal space as elementary
+  intervals bounded by block edges, process intervals in descending
+  score-ceiling order, and STOP as soon as the best unprocessed interval's
+  ceiling can no longer beat the current kth score. Chunks are decoded
+  lazily, only when an interval touching them is actually scored — the
+  WAND/BMW idea (skip whole blocks of hot terms) re-expressed as a
+  vectorized sweep instead of a per-document pointer walk, which is what
+  makes it fast in numpy. Exactness: every skipped interval has
+  sum-of-ceilings < current theta, and ceilings dominate true scores
+  (boost-inclusive), so no top-k doc can be skipped.
+
+The reference delegates all of this to Lucene's WAND/impacts
+(``portal_records_index_schema.json`` text fields; scored queries like
+``IndexerServiceIT.java:219-238``); we rebuild it because Spark has no
+inverted-index primitive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import bm25, codec
+
+
+class TermView:
+    """One query term's postings: chunk metadata up-front, lazy decode.
+
+    ``chunks`` is a pandas DataFrame of this term's posting-chunk rows
+    sorted by (seg, min_doc) — disjoint, ordered doc ranges (the salted
+    skew-split re-assembled by ordered concatenation).
+    """
+
+    def __init__(self, term: str, chunks: pd.DataFrame, df: int, n_docs: int):
+        self.term = term
+        self.df = int(df)
+        self.idf = float(bm25.idf(self.df, n_docs))
+        self.chunks = chunks.reset_index(drop=True)
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.chunk_min = chunks["min_doc"].to_numpy(np.int64)
+        self.chunk_max = chunks["max_doc"].to_numpy(np.int64)
+
+    # ---- block metadata (no decode needed) --------------------------------
+    def block_table(self, avgdl: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(start_doc, last_doc, ceiling) per block across all chunks.
+        ceiling = idf * tf_norm_ceiling(max_tf, min_dl) — boost applied by
+        the caller."""
+        if len(self.chunks) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.float64)
+        starts, lasts, ceils = [], [], []
+        for i in range(len(self.chunks)):
+            row = self.chunks.iloc[i]
+            last = np.asarray(row["block_last"], dtype=np.int64)
+            mtf = np.asarray(row["block_max_tf"], dtype=np.float64)
+            mdl = np.asarray(row["block_min_dl"], dtype=np.float64)
+            start = np.empty_like(last)
+            start[0] = row["min_doc"]
+            start[1:] = last[:-1] + 1
+            starts.append(start)
+            lasts.append(last)
+            ceils.append(self.idf * bm25.tf_norm_ceiling(mtf, np.maximum(mdl, 1.0), avgdl))
+        return (
+            np.concatenate(starts),
+            np.concatenate(lasts),
+            np.concatenate(ceils),
+        )
+
+    # ---- decode ------------------------------------------------------------
+    def _decode_chunk(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._decoded.get(i)
+        if got is None:
+            row = self.chunks.iloc[i]
+            docs = codec.delta_decode(codec.varint_decode(row["doc_bytes"]))
+            tfs = codec.varint_decode(row["tf_bytes"]).astype(np.int64)
+            got = (docs, tfs)
+            self._decoded[i] = got
+        return got
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if len(self.chunks) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        parts = [self._decode_chunk(i) for i in range(len(self.chunks))]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def gather(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Postings with lo <= doc_ord <= hi; decodes only touched chunks."""
+        first = int(np.searchsorted(self.chunk_max, lo, side="left"))
+        last = int(np.searchsorted(self.chunk_min, hi, side="right"))
+        docs_out, tfs_out = [], []
+        for i in range(first, last):
+            docs, tfs = self._decode_chunk(i)
+            a = int(np.searchsorted(docs, lo, side="left"))
+            b = int(np.searchsorted(docs, hi, side="right"))
+            if b > a:
+                docs_out.append(docs[a:b])
+                tfs_out.append(tfs[a:b])
+        if not docs_out:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+    def positions_for(self, want_docs: np.ndarray) -> dict[int, np.ndarray]:
+        """doc_ord -> positions array (requires with_positions index)."""
+        out: dict[int, np.ndarray] = {}
+        for i in range(len(self.chunks)):
+            row = self.chunks.iloc[i]
+            buf = row.get("pos_bytes")
+            if buf is None:
+                raise ValueError("index was built without positions")
+            docs, _ = self._decode_chunk(i)
+            mask = np.isin(docs, want_docs)
+            if not mask.any():
+                continue
+            plists = codec.decode_positions(buf, len(docs))
+            for j in np.flatnonzero(mask):
+                out[int(docs[j])] = plists[j]
+        return out
+
+
+def _score_gathered(
+    views: list[TermView],
+    gathered: list[tuple[np.ndarray, np.ndarray]],
+    dl_of: np.ndarray,
+    dl_base: int,
+    avgdl: float,
+    boost_of: np.ndarray | None,
+    mode: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-score the union of gathered postings (one (docs, tfs) pair per
+    term, term order = sorted — fixed float64 summation order).
+    ``dl_of[doc_ord - dl_base]`` is the doc length. Returns (doc_ords,
+    scores) for docs matching the boolean mode."""
+    all_docs = np.concatenate([g[0] for g in gathered])
+    if len(all_docs) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    counts = np.zeros(len(uniq), dtype=np.int64)
+    off = 0
+    for v, (docs, tfs) in zip(views, gathered):
+        m = len(docs)
+        if m == 0:
+            continue
+        sl = inv[off : off + m]
+        dl = dl_of[docs - dl_base].astype(np.float64)
+        contrib = v.idf * bm25.tf_norm(tfs, dl, avgdl)
+        np.add.at(scores, sl, contrib)
+        np.add.at(counts, sl, 1)
+        off += m
+    if mode == "and":
+        keep = counts == len(views)
+        uniq, scores = uniq[keep], scores[keep]
+    if boost_of is not None and len(uniq):
+        scores = scores * boost_of[uniq - dl_base]
+    return uniq, scores
+
+
+def exhaustive_topk(
+    views: list[TermView],
+    dl_of: np.ndarray,
+    avgdl: float,
+    k: int,
+    *,
+    dl_base: int = 0,
+    boost_of: np.ndarray | None = None,
+    mode: str = "or",
+) -> tuple[np.ndarray, np.ndarray]:
+    views = sorted(views, key=lambda v: v.term)
+    if mode == "and" and any(v.df == 0 for v in views):
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    views = [v for v in views if v.df > 0]
+    if not views:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    gathered = [v.decode_all() for v in views]
+    docs, scores = _score_gathered(views, gathered, dl_of, dl_base, avgdl, boost_of, mode)
+    return bm25.topk_desc(scores, docs, k)
+
+
+def blockmax_topk(
+    views: list[TermView],
+    dl_of: np.ndarray,
+    avgdl: float,
+    k: int,
+    *,
+    dl_base: int = 0,
+    boost_of: np.ndarray | None = None,
+    max_boost: float = 1.0,
+    mode: str = "or",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max pruned exact top-k (see module docstring)."""
+    views = sorted(views, key=lambda v: v.term)
+    if mode == "and" and any(v.df == 0 for v in views):
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    views = [v for v in views if v.df > 0]
+    if not views:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+    # ---- elementary intervals from block edges -----------------------------
+    tables = [v.block_table(avgdl) for v in views]
+    edges = np.unique(
+        np.concatenate(
+            [t[0] for t in tables] + [t[1] + 1 for t in tables]
+        )
+    )
+    n_iv = len(edges) - 1
+    if n_iv <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    iv_lo = edges[:-1]
+    iv_hi = edges[1:] - 1  # inclusive
+    ub = np.zeros(n_iv, dtype=np.float64)
+    covered = np.zeros(n_iv, dtype=np.int64)
+    for starts, lasts, ceils in tables:
+        if len(lasts) == 0:
+            continue  # term absent from this doc range (e.g. this segment)
+        # block containing iv_lo: the first block with last >= iv_lo
+        bi = np.searchsorted(lasts, iv_lo, side="left")
+        ok = (bi < len(lasts)) & (starts[np.minimum(bi, len(lasts) - 1)] <= iv_lo)
+        bi = np.minimum(bi, len(lasts) - 1)
+        ub += np.where(ok, ceils[bi], 0.0)
+        covered += ok
+    ub *= max_boost
+    if mode == "and":
+        ub = np.where(covered == len(views), ub, 0.0)
+
+    order = np.argsort(-ub, kind="stable")
+    top_docs = np.zeros(0, np.int64)
+    top_scores = np.zeros(0, np.float64)
+    theta = -np.inf
+    for idx in order:
+        # strict <: a doc tying theta with a smaller doc_ord still wins the
+        # tie-break, so equal-ceiling intervals must be scored
+        if len(top_scores) >= k and ub[idx] < theta:
+            break  # nothing below can beat the kth score — exact early exit
+        if ub[idx] <= 0.0:
+            break  # no covering block → no postings in any remaining interval
+        lo, hi = int(iv_lo[idx]), int(iv_hi[idx])
+        gathered = [v.gather(lo, hi) for v in views]
+        docs, scores = _score_gathered(
+            views, gathered, dl_of, dl_base, avgdl, boost_of, mode
+        )
+        if len(docs) == 0:
+            continue
+        top_docs = np.concatenate([top_docs, docs])
+        top_scores = np.concatenate([top_scores, scores])
+        top_docs, top_scores = bm25.topk_desc(top_scores, top_docs, k)
+        if len(top_scores) >= k:
+            theta = top_scores[-1]
+    return top_docs, top_scores
+
+
+def phrase_docs(views: list[TermView], mode_docs: np.ndarray) -> np.ndarray:
+    """Docs (subset of mode_docs = AND-intersection) where the terms occur
+    adjacently in order — match_phrase (``GeoNetworkServiceImpl.java:118``,
+    used inside bool.filter, i.e. unscored)."""
+    if not views:
+        return np.zeros(0, np.int64)
+    pos_maps = [v.positions_for(mode_docs) for v in views]
+    hits = []
+    for d in mode_docs:
+        cand = pos_maps[0].get(int(d))
+        if cand is None:
+            continue
+        ok = True
+        for i in range(1, len(views)):
+            nxt = pos_maps[i].get(int(d))
+            if nxt is None:
+                ok = False
+                break
+            cand = cand[np.isin(cand + i, nxt)]
+            if len(cand) == 0:
+                ok = False
+                break
+        if ok and len(cand):
+            hits.append(int(d))
+    return np.array(hits, dtype=np.int64)
