@@ -1,0 +1,309 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the dedup stages of a web-scale training-data pipeline.
+
+Scale notes (the design point is 100 TB / 10^9+ docs):
+- exact dedup is a hash groupBy — one shuffle on a 32-byte key;
+- n-gram Jaccard self-joins on shingles: the shingle explode is the big
+  shuffle; common-shingle pairs are counted with map-side combine, and
+  only pairs above the threshold survive to the (tiny) verify join;
+- MinHash/LSH replaces the all-pairs join with a band-bucket equi-join
+  (bucket key = hash of one signature band) — candidates are verified
+  with exact Jaccard so precision is exact and only recall depends on
+  the (bands x rows) S-curve;
+- SimHash blocks by pigeonhole: 64-bit fingerprints split into
+  (hamming_budget+1) bands; any pair within budget shares >=1 exact band,
+  so the join is again an equi-join;
+- signatures/fingerprints are computed in Arrow-vectorized pandas UDFs
+  (numpy), never per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .textstats import SQL_TOKENS, tokens_col
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(strings: np.ndarray) -> np.ndarray:
+    """Stable 64-bit hash per string (md5-based — hash() is salted per
+    process and would break determinism across executors)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def shingles_col(n: int = 3):
+    """Token n-gram shingles as a column expression (JVM-side)."""
+    toks = tokens_col("text")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def sql_shingles(n: int = 3) -> str:
+    return f"""
+case when len({SQL_TOKENS}) >= {n} then
+  list_transform(range(1, len({SQL_TOKENS}) - {n - 2}),
+                 i -> array_to_string(list_slice({SQL_TOKENS}, i, i + {n - 1}), ' '))
+else [array_to_string({SQL_TOKENS}, ' ')] end
+"""
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact (normalized) duplicate groups: md5 over the token stream,
+    groups with >1 member; canonical = min id (keep-first policy)."""
+    toks = tokens_col("text")
+    return (
+        df.select(F.col(id_col), F.md5(F.concat_ws(" ", toks)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def sql_exact_duplicates(table: str = "documents") -> str:
+    return f"""
+select md5(array_to_string({SQL_TOKENS}, ' ')) as fingerprint,
+       count(*) as n_dups, min(doc_id) as canonical_id
+from {table}
+group by 1 having count(*) > 1
+"""
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold (id_a < id_b).
+
+    Distinct-shingle explode → self-equi-join on shingle (map-side
+    combinable pair counting) → |A∩B| / (|A|+|B|-|A∩B|)."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles_col(n))).alias("s"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def sql_ngram_jaccard_pairs(table: str = "documents", threshold: float = 0.8, n: int = 3) -> str:
+    return f"""
+with sh as (
+  select doc_id as id, unnest(list_distinct({sql_shingles(n)})) as s from {table}
+), sizes as (
+  select id, count(*) as sz from sh group by id
+), common as (
+  select a.id as id_a, b.id as id_b, count(*) as common
+  from sh a join sh b on a.s = b.s and a.id < b.id
+  group by 1, 2
+)
+select id_a, id_b,
+       round(common::double / (sa.sz + sb.sz - common), 6) as jaccard
+from common
+join sizes sa on sa.id = id_a
+join sizes sb on sb.id = id_b
+where common::double / (sa.sz + sb.sz - common) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    seed: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash over n-gram shingles, vectorized:
+    one (num_hashes x shingles) affine-hash matrix min-reduce per doc."""
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    Bv = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    with_sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles_col(n)).alias("sh"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i in range(len(pdf)):
+                sh = np.asarray(pdf["sh"].iloc[i], dtype=object)
+                if len(sh) == 0:
+                    sigs.append(np.zeros(num_hashes, np.int64))
+                else:
+                    x = _stable_hash64(sh)  # (S,)
+                    hv = (A[:, None] * x[None, :] + Bv[:, None]) % np.uint64(_MERSENNE)
+                    sigs.append(hv.min(axis=1).astype(np.int64))
+                ids.append(pdf["id"].iloc[i])
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return with_sh.mapInPandas(gen, out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via banded LSH candidate generation + exact n-gram
+    Jaccard verification (precision exact; recall per the LSH S-curve
+    1-(1-s^r)^b with r = num_hashes/bands)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, seed, id_col)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.concat_ws(",", F.slice("sig", b * rows + 1, rows))),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles_col(n)).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens (tf-weighted bit votes), vectorized."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    toks_df = df.select(F.col(id_col).alias("id"), tokens_col("text").alias("toks"))
+
+    def gen(batches):
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for i in range(len(pdf)):
+                toks = np.asarray(pdf["toks"].iloc[i], dtype=object)
+                if len(toks) == 0:
+                    fps.append(0)
+                else:
+                    uniq, tf = np.unique(toks, return_counts=True)
+                    h = _stable_hash64(uniq)  # (U,)
+                    bitm = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+                    votes = ((bitm * 2 - 1) * tf[:, None]).sum(axis=0)
+                    fp = np.uint64(0)
+                    fp_bits = (votes > 0).astype(np.uint64)
+                    fp = (fp_bits << bits).sum(dtype=np.uint64)
+                    fps.append(int(fp.astype(np.int64)))  # two's complement into long
+                ids.append(pdf["id"].iloc[i])
+            yield pd.DataFrame({"id": ids, "simhash": fps})
+
+    return toks_df.mapInPandas(gen, out_schema)
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming, found by pigeonhole
+    banding ((max_hamming+1) 16-bit bands → equi-join) + exact popcount
+    verify. Complete: any pair within budget matches on >=1 band."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    fp = simhash_fingerprints(df, id_col)
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline. Two implementations:
+  a pure-column-expression path (JVM, whole-stage codegen — used for the
+  DuckDB oracle comparison) and an Arrow/numpy matrix path (the fast
+  one for wide fan-out).
+- LSH-bucketed ANN: random-hyperplane signatures → candidates from the
+  query's bucket (+ multiprobe neighbors) → exact cosine re-rank. The
+  scale path: the bucket join prunes the corpus instead of scanning it.
+
+At 100 TB the brute-force path is a full scan per query — fine for batch
+scoring (it's one map + top-k, no shuffle besides the k-row gather), wrong
+for interactive; the LSH path turns it into a partition-pruned lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _q_lit(query_vec) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk_sql(
+    df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k as pure column expressions (zip_with + aggregate,
+    JVM-side). Deterministic tie-break (cosine desc, id asc)."""
+    q = _q_lit(query_vec)
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    n2 = float(np.sqrt(np.dot(query_vec, query_vec)))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(dot / (n1 * F.lit(n2)), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sql_cosine_topk(table: str, query_vec, k: int = 10) -> str:
+    vec = "[" + ", ".join(f"{float(v)!r}::double" for v in query_vec) + "]"
+    return f"""
+with q as (select {vec} as qv)
+select vec_id,
+       round(list_dot_product(embedding::double[], qv)
+             / (sqrt(list_dot_product(embedding::double[], embedding::double[]))
+                * sqrt(list_dot_product(qv, qv))), 6) as cosine
+from {table}, q
+order by cosine desc, vec_id asc
+limit {k}
+"""
+
+
+def cosine_topk_arrow(
+    df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Arrow/numpy matrix path: per-partition GEMV + local top-k, then a
+    global top-k of the tiny union (partial top-k is the map-side combine
+    — the gather is k rows per partition, never the corpus)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", df.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos = (M @ q) / (np.linalg.norm(M, axis=1) * qn)
+            order = np.lexsort((pdf[id_col].to_numpy(), -cos))[:k]
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy()[order], "cosine": np.round(cos[order], 6)}
+            )
+
+    local = df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    return local.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+# ------------------------------------------------------------------ LSH ANN
+
+def _planes(dim: int, n_tables: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).normal(size=(n_tables, n_planes, dim))
+
+
+def hyperplane_signatures(
+    df: DataFrame, dim: int, n_tables: int = 8, n_planes: int = 8, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) — sign-bit signatures under L independent
+    seeded hyperplane tables (classic multi-table LSH: each table is a
+    (n_planes)-bit bucket key; a near pair collides in >=1 table with
+    probability 1-(1-p^n_planes)^L)."""
+    H = _planes(dim, n_tables, n_planes, seed)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", df.schema[id_col].dataType),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    weights = 1 << np.arange(n_planes)
+
+    def gen(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                bits = (M @ H[t].T > 0).astype(np.int64)
+                buckets = (bits * weights).sum(axis=1).astype(np.int32)
+                frames.append(
+                    pd.DataFrame({"vec_id": ids, "table": t, "bucket": buckets})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def query_probes(
+    query_vec, n_tables: int = 8, n_planes: int = 8, seed: int = 7, multiprobe: int = 2
+) -> list[tuple[int, int]]:
+    """(table, bucket) probes: per table, the query's bucket plus the
+    `multiprobe` single-bit flips with the smallest hyperplane margins
+    (the planes the query is least certain about)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    H = _planes(len(q), n_tables, n_planes, seed)
+    out: list[tuple[int, int]] = []
+    weights = 1 << np.arange(n_planes)
+    for t in range(n_tables):
+        margins = H[t] @ q
+        bits = (margins > 0).astype(np.int64)
+        base = int((bits * weights).sum())
+        out.append((t, base))
+        for i in np.argsort(np.abs(margins))[:multiprobe]:
+            out.append((t, base ^ (1 << int(i))))
+    return out
+
+
+def lsh_ann_topk(
+    df: DataFrame, query_vec, k: int = 10, n_tables: int = 8, n_planes: int = 8,
+    seed: int = 7, multiprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: exact cosine re-rank restricted to the union of the
+    query's candidate buckets across L tables. On a real deployment the
+    signature table is precomputed and bucketed, so each probe is a
+    partition-pruned lookup, not a scan."""
+    dim = len(query_vec)
+    sig = hyperplane_signatures(df, dim, n_tables, n_planes, seed, id_col, vec_col)
+    probes = query_probes(query_vec, n_tables, n_planes, seed, multiprobe)
+    probe_df = sig.sparkSession.createDataFrame(probes, "table int, bucket int")
+    cand_ids = (
+        sig.join(F.broadcast(probe_df), ["table", "bucket"])
+        .select(F.col("vec_id").alias("_cand_id"))
+        .distinct()
+    )
+    cand = df.join(cand_ids, df[id_col] == F.col("_cand_id"), "left_semi")
+    return cosine_topk_arrow(cand, query_vec, k, id_col, vec_col)
