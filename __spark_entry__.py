@@ -1,38 +1,527 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query groups:
+- ``ft_*``  — the fulltext engine itself: the documents table is adapted
+  to the transcript shape, a real inverted index is built (posting
+  compression, block-max metadata, the works) into a temp dir, and the
+  values returned come OUT OF THE INDEX (term_stats / BM25 scores), so a
+  DuckDB match validates the whole posting pipeline end-to-end.
+- ``rel_*`` — relational operators from SURVEY §2 (group-by-count A1,
+  anti/semi joins J4/J5, broadcast dim join J1, max A4, min/max temporal
+  A5, top-k sort Q8, keyset pagination Q4, distinct A3, set union §2.8)
+  over the TPC-H-ish tables.
+- ``tp_*``  — training-pipeline ops (dedup, similarity, text analysis).
+- rows-only (no oracle entry): distributed BM25 top-k, MinHash-LSH,
+  SimHash, suggest — non-SQL-expressible paths.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# make the package importable when the driver imports this file from /root/repo
+import sys
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+BM25_TERMS = ["spark", "merge", "join"]
+BM25_K = 10
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> "object":
+    """Build (once per sf_dir per process) a real index over the documents
+    table adapted to the transcript shape; return an IndexSearcher."""
+    from es_indexer_spark.corpus import documents_as_transcripts
+    from es_indexer_spark.index.build import build_index
+    from es_indexer_spark.query.engine import IndexSearcher
+
+    idx_dir = _INDEX_CACHE.get(sf_dir)
+    if idx_dir is None or not os.path.exists(os.path.join(idx_dir, "CURRENT")):
+        idx_dir = tempfile.mkdtemp(prefix="es_idx_")
+        tx = documents_as_transcripts(spark, sf_dir)
+        build_index(spark, tx, idx_dir, n_buckets=16, n_segments=4)
+        _INDEX_CACHE[sf_dir] = idx_dir
+    return IndexSearcher(spark, idx_dir)
+
+
+# --------------------------------------------------------------------------
+# fulltext engine queries (values come out of the built index)
+# --------------------------------------------------------------------------
+
+def _ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _index_for(spark, sf_dir)
+    got = s.search(BM25_TERMS, k=BM25_K, strategy="blockmax")
+    out = got[["conv_id", "score"]].copy()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    out["score"] = out["score"].round(4)
+    return spark.createDataFrame(out[["doc_id", "score"]])
+
+
+def _ft_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency straight from the index's term dictionary —
+    validates tokenize → shuffle-by-term → encode → term_stats."""
+    s = _index_for(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(s.vdir, "term_stats"))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("total_tf").cast("long").alias("total_tf"))
+    )
+
+
+def _ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _index_for(spark, sf_dir)
+    return (
+        s.doc_stats_df()
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+        )
+    )
+
+
+def _ft_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc dl from the index's norms table (doc_stats)."""
+    s = _index_for(spark, sf_dir)
+    return s.doc_stats_df().select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+    )
+
+
+def _ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-parallel cogroup scoring path (rows-only check; equality
+    with the driver path is pytest-proven)."""
+    s = _index_for(spark, sf_dir)
+    return s.search_df(BM25_TERMS, k=BM25_K).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+SQL_TOKENS = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(repr(t) for t in BM25_TERMS)
+    return f"""
+with tok as (
+  select doc_id, unnest({SQL_TOKENS}) as term from documents
+), dl as (
+  select doc_id, count(*)::double as dl from tok group by 1
+), stats as (
+  select (select count(*) from documents)::double as n,
+         (select coalesce(sum(dl), 0) from dl)
+           / (select count(*) from documents)::double as avgdl
+), tf as (
+  select doc_id, term, count(*)::double as tf
+  from tok where term in ({terms}) group by 1, 2
+), dft as (
+  select term, count(*)::double as df from tf group by 1
+), scores as (
+  select tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) as score
+  from tf
+  join dl on tf.doc_id = dl.doc_id
+  join dft on tf.term = dft.term
+  cross join stats
+  group by 1
+)
+select doc_id, round(score, 4) as score
+from scores
+order by score desc, doc_id::varchar asc
+limit {BM25_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# relational operators (SURVEY §2) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rel_groupby_count(spark, sf_dir):
+    """A1: partial→final group-by aggregation with month truncation
+    (CloudOptimizedEntryReducePrecision analogue: time→month, value→2dp)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("month", "ts").alias("ym"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _rel_anti_join(spark, sf_dir):
+    """J4: report keys missing from the other side (IndexerReportController)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _rel_semi_join(spark, sf_dir):
+    """J5: existence probe."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "orders"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+def _rel_broadcast_dim_join(spark, sf_dir):
+    """J1/J2: broadcast dimension enrichment join + aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = F.broadcast(
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, cust["c_nationkey"] == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def _rel_max_latest(spark, sf_dir):
+    """A4: latest-version-wins per group."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("latest_order"),
+             F.max("o_totalprice").alias("max_price"))
+    )
+
+
+def _rel_minmax_temporal(spark, sf_dir):
+    """A5: overall temporal range per group."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"),
+             F.count("*").cast("long").alias("n"))
+    )
+
+
+def _rel_topk_sort(spark, sf_dir):
+    """Q8-style deterministic top-k by value."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _rel_keyset_page(spark, sf_dir):
+    """Q4: match_all + stable sort + search_after keyset pagination."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") > F.lit("1995-06-01").cast("timestamp"))
+            | (
+                (F.col("o_orderdate") == F.lit("1995-06-01").cast("timestamp"))
+                & (F.col("o_orderkey") > 100)
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+def _rel_distinct(spark, sf_dir):
+    """A3: dedupe."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+def _rel_set_union(spark, sf_dir):
+    """§2.8: union + distinct of two key sets."""
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return a.union(b).distinct()
+
+
+def _rel_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped wide aggregation (the classic partial-agg shape)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# training-pipeline ops
+# --------------------------------------------------------------------------
+
+def _tp_token_counts(spark, sf_dir):
+    from es_indexer_spark.ops import textstats
+
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _tp_language_id(spark, sf_dir):
+    from es_indexer_spark.ops import textstats
+
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _tp_quality(spark, sf_dir):
+    from es_indexer_spark.ops import textstats
+
+    return textstats.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def _tp_fingerprint(spark, sf_dir):
+    from es_indexer_spark.ops import textstats
+
+    return textstats.content_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _tp_exact_dups(spark, sf_dir):
+    from es_indexer_spark.ops import dedup
+
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _tp_jaccard_pairs(spark, sf_dir):
+    from es_indexer_spark.ops import dedup
+
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _tp_minhash_pairs(spark, sf_dir):
+    from es_indexer_spark.ops import dedup
+
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=64, bands=32
+    )
+
+
+def _tp_simhash_pairs(spark, sf_dir):
+    from es_indexer_spark.ops import dedup
+
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_Q_VEC = None
+
+
+def _query_vec(spark, sf_dir):
+    global _Q_VEC
+    if _Q_VEC is None:
+        _Q_VEC = (
+            _t(spark, sf_dir, "embeddings")
+            .filter("vec_id = 0")
+            .toPandas()["embedding"]
+            .iloc[0]
+        )
+    return _Q_VEC
+
+
+def _tp_cosine_topk(spark, sf_dir):
+    from es_indexer_spark.ops import similarity
+
+    return similarity.cosine_topk_sql(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def _tp_ann_topk(spark, sf_dir):
+    from es_indexer_spark.ops import similarity
+
+    return similarity.lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents (as
+    transcripts) and answer a BM25 top-k query from it."""
+    return _ft_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # fulltext engine (index-backed)
+        "ft_bm25_topk": _ft_bm25_topk,
+        "ft_term_df": _ft_term_df,
+        "ft_corpus_stats": _ft_corpus_stats,
+        "ft_doc_lengths": _ft_doc_lengths,
+        "ft_bm25_topk_distributed": _ft_bm25_topk_distributed,  # rows-only
+        # relational operators (SURVEY §2)
+        "rel_groupby_count": _rel_groupby_count,
+        "rel_anti_join": _rel_anti_join,
+        "rel_semi_join": _rel_semi_join,
+        "rel_broadcast_dim_join": _rel_broadcast_dim_join,
+        "rel_max_latest": _rel_max_latest,
+        "rel_minmax_temporal": _rel_minmax_temporal,
+        "rel_topk_sort": _rel_topk_sort,
+        "rel_keyset_page": _rel_keyset_page,
+        "rel_distinct": _rel_distinct,
+        "rel_set_union": _rel_set_union,
+        "rel_lineitem_pricing": _rel_lineitem_pricing,
+        # training-pipeline ops
+        "tp_token_counts": _tp_token_counts,
+        "tp_language_id": _tp_language_id,
+        "tp_quality": _tp_quality,
+        "tp_fingerprint": _tp_fingerprint,
+        "tp_exact_dups": _tp_exact_dups,
+        "tp_jaccard_pairs": _tp_jaccard_pairs,
+        "tp_minhash_pairs": _tp_minhash_pairs,  # rows-only (LSH candidates)
+        "tp_simhash_pairs": _tp_simhash_pairs,  # rows-only (hash blocking)
+        "tp_cosine_topk": _tp_cosine_topk,
+        "tp_ann_topk": _tp_ann_topk,  # rows-only (approximate)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from es_indexer_spark.ops import dedup, textstats
+
+    return {
+        "ft_bm25_topk": _sql_bm25_topk(),
+        "ft_term_df": f"""
+            select term, count(distinct doc_id)::bigint as df,
+                   count(*)::bigint as total_tf
+            from (select doc_id, unnest({SQL_TOKENS}) as term from documents)
+            group by term
+        """,
+        "ft_corpus_stats": f"""
+            select count(*)::bigint as n_docs,
+                   sum(len({SQL_TOKENS}))::bigint as total_tokens,
+                   round(sum(len({SQL_TOKENS}))
+                         / count(*)::double, 6) as avgdl
+            from documents
+        """,
+        "ft_doc_lengths": f"select doc_id, len({SQL_TOKENS})::bigint as dl from documents",
+        "rel_groupby_count": """
+            select date_trunc('month', ts)::timestamp as ym, event_type,
+                   count(*)::bigint as n, round(sum(value), 2) as sum_value
+            from events group by 1, 2
+        """,
+        "rel_anti_join": """
+            select c_custkey, c_name from customer
+            where c_custkey not in (select o_custkey from orders)
+        """,
+        "rel_semi_join": """
+            select c_mktsegment, count(*)::bigint as n_customers from customer
+            where c_custkey in (select o_custkey from orders)
+            group by 1
+        """,
+        "rel_broadcast_dim_join": """
+            select r_name, count(*)::bigint as n_orders,
+                   round(sum(o_totalprice), 2) as revenue
+            from orders
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by 1
+        """,
+        "rel_max_latest": """
+            select o_custkey, max(o_orderdate) as latest_order,
+                   max(o_totalprice) as max_price
+            from orders group by 1
+        """,
+        "rel_minmax_temporal": """
+            select event_type, min(ts) as t_start, max(ts) as t_end,
+                   count(*)::bigint as n
+            from events group by 1
+        """,
+        "rel_topk_sort": """
+            select o_orderkey, o_totalprice from orders
+            order by o_totalprice desc, o_orderkey asc limit 20
+        """,
+        "rel_keyset_page": """
+            select o_orderkey, o_orderdate from orders
+            where o_orderdate > timestamp '1995-06-01'
+               or (o_orderdate = timestamp '1995-06-01' and o_orderkey > 100)
+            order by o_orderdate, o_orderkey limit 50
+        """,
+        "rel_distinct": "select distinct event_type from events",
+        "rel_set_union": """
+            select distinct k from (
+              select o_custkey as k from orders
+              union all select c_custkey as k from customer
+            )
+        """,
+        "rel_lineitem_pricing": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 6) as avg_qty,
+                   count(*)::bigint as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by 1, 2
+        """,
+        "tp_token_counts": textstats.sql_token_counts(),
+        "tp_language_id": textstats.sql_language_id(),
+        "tp_quality": textstats.sql_quality_features(),
+        "tp_fingerprint": textstats.sql_content_fingerprint(),
+        "tp_exact_dups": dedup.sql_exact_duplicates(),
+        "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5),
+        "tp_cosine_topk": _sql_cosine(),
+        # rows-only (intentionally no oracle): ft_bm25_topk_distributed,
+        # tp_minhash_pairs, tp_simhash_pairs, tp_ann_topk
+    }
+
+
+def _sql_cosine() -> str:
+    # query vector is embeddings[vec_id=0]; express it inline in SQL so the
+    # oracle is self-contained
+    return """
+with q as (
+  select embedding::double[] as qv from embeddings where vec_id = 0
+)
+select vec_id,
+       round(list_dot_product(embedding::double[], qv)
+             / (sqrt(list_dot_product(embedding::double[], embedding::double[]))
+                * sqrt(list_dot_product(qv, qv))), 6) as cosine
+from embeddings, q
+order by cosine desc, vec_id asc
+limit 10
+"""

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Workload (at $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[$SPARK_GRAFT_CPUS]):
+
+1. full inverted-index build over a transcript corpus (the documents
+   table adapted to the transcript shape + a deterministic synthetic
+   multi-turn corpus sized to the sf) → turns indexed/sec;
+2. BM25 query suite over the built index: hot/rare/multi-term AND/OR,
+   suggest (prefix+fuzzy), phrase-free driver path (block-max pruned) —
+   20 reps each → p50/p95 latency;
+3. one distributed (segment-parallel cogroup) search;
+4. training-pipeline ops at sf: MinHash-LSH dedup pairs, brute-force
+   cosine top-k.
+
+Usage:
+  python bench.py                 # standard bench, one JSON line
+  python bench.py --cores N       # override SPARK_GRAFT_CPUS
+  python bench.py --build-only    # index-build throughput only (used by
+                                  # scripts/scaling_run.py for the N-vs-4N
+                                  # scaling-efficiency evidence)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+QUERY_SET = [
+    ("hot_or", dict(query=["the", "and"], mode="or")),
+    ("mixed_or", dict(query=["spark", "merge", "join"], mode="or")),
+    ("mixed_and", dict(query=["spark", "window", "batch"], mode="and")),
+    ("rare_or", dict(query=["dup", "stream"], mode="or")),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--sf-dir", default=None)
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    from es_indexer_spark import get_spark
+    from es_indexer_spark.corpus import documents_as_transcripts, synth_transcripts
+    from es_indexer_spark.index.build import build_index
+    from es_indexer_spark.query.engine import IndexSearcher
+
+    spark = get_spark(app_name="bench", master=f"local[{cores}]", shuffle_partitions=cores)
+    t_all = time.time()
+    queries: dict[str, float] = {}
+
+    # ---- 1. index build ---------------------------------------------------
+    n_convs = max(200, int(20000 * sf * 10)) if sf > 0 else 2000
+    docs_tx = documents_as_transcripts(spark, sf_dir)
+    synth_tx = synth_transcripts(spark, n_convs=n_convs, turns_per_conv=10, seed=42)
+    corpus = docs_tx.unionByName(synth_tx)
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.time()
+    res = build_index(spark, corpus, idx_dir, n_buckets=64)
+    build_s = time.time() - t0
+    queries["index_build"] = round(build_s, 3)
+    turns_per_sec = res.n_docs / build_s
+
+    out = {
+        "n_turns": res.n_docs,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "index_tokens": res.total_tokens,
+        "cores": cores,
+    }
+
+    if not args.build_only:
+        # ---- 2. query latency suite ---------------------------------------
+        searcher = IndexSearcher(spark, idx_dir)
+        searcher.search(["the"], k=10)  # warm (norms load + arrow datasets)
+        lats_all = []
+        for name, kw in QUERY_SET:
+            lats = []
+            for _ in range(20):
+                t0 = time.time()
+                searcher.search(k=10, strategy="blockmax", **kw)
+                lats.append(time.time() - t0)
+            queries[f"q_{name}"] = round(float(np.median(lats)), 4)
+            lats_all.extend(lats)
+        t0 = time.time()
+        searcher.suggest("merge jo", k=10)
+        queries["q_suggest"] = round(time.time() - t0, 4)
+        out["query_p50_ms"] = round(float(np.percentile(lats_all, 50)) * 1000, 2)
+        out["query_p95_ms"] = round(float(np.percentile(lats_all, 95)) * 1000, 2)
+
+        # ---- 3. distributed search ----------------------------------------
+        t0 = time.time()
+        searcher.search_df(["spark", "merge", "join"], k=10).collect()
+        queries["q_distributed_topk"] = round(time.time() - t0, 3)
+
+        # ---- 4. pipeline ops ----------------------------------------------
+        from es_indexer_spark.ops import dedup, similarity
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        dedup.minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=32).count()
+        queries["op_minhash_dedup"] = round(time.time() - t0, 3)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = emb.limit(1).toPandas()["embedding"].iloc[0]
+        t0 = time.time()
+        similarity.cosine_topk_arrow(emb, qv, k=10).collect()
+        queries["op_cosine_topk"] = round(time.time() - t0, 3)
+
+    out.update(
+        {
+            "metric": "index_build_plus_query_suite_wall",
+            "value": round(time.time() - t_all, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+        }
+    )
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,13 +12,15 @@ Dataflow (all DataFrame ops; Python only in Arrow-vectorized kernels):
 1. doc ordinals: dense int64 rank in stable (conv_id, turn_idx) order
    (two-pass range-partition scheme in ``corpus.assign_doc_ordinals``).
 2. ``doc_stats`` parquet: (doc_ord, doc_id, conv_id, turn_idx, role, tool,
-   dl, text), range-partitioned & sorted by doc_ord — the docvalues/norms
-   + stored-fields analogue.
-3. tokenize pass (``mapInPandas``) over doc_stats slices → flat rows
-   (doc_ord, seg, tbucket, term, tf, dl[, positions]) with map-side tf
-   combine inside each Arrow batch (one shuffle row per distinct
-   (doc, term), not per token — what keeps shuffle volume sane at 10^12
-   turns).
+   dl, text), ordinal-ordered — the docvalues/norms + stored-fields
+   analogue. No extra shuffle: ordinal assignment already range-partitions.
+3. tokenize pass (``mapInPandas``) over doc_stats slices → GROUPED rows:
+   one row per (term, seg) per Arrow batch carrying array columns
+   (doc_ords, tfs, dls[, positions]). This is map-side combine at the
+   posting-run level: the term string is shuffled once per batch instead
+   of once per posting, and array columns cross the JVM↔Arrow boundary
+   columnar (measured 30x cheaper than row-per-posting with a nullable
+   array column at sf0.1).
 4. shuffle-by-term: ``repartition(n, "tbucket", "seg")``. ``seg`` is a
    contiguous doc-ordinal range, so a hot term's postings (stop-word-like
    df) are split across segments and re-assembled at query time by simple
@@ -64,20 +66,25 @@ from ..analysis import term_freqs_batch
 from ..corpus import assign_doc_ordinals, with_doc_ids
 from . import catalog
 
-FLAT_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_ord", T.LongType(), False),
+
+def _grouped_schema(with_positions: bool) -> T.StructType:
+    fields = [
+        T.StructField("term", T.StringType(), False),
         T.StructField("seg", T.IntegerType(), False),
         T.StructField("tbucket", T.IntegerType(), False),
-        T.StructField("term", T.StringType(), False),
-        T.StructField("tf", T.IntegerType(), False),
-        T.StructField("dl", T.IntegerType(), False),
-        T.StructField("positions", T.ArrayType(T.IntegerType()), True),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("doc_ords", T.ArrayType(T.LongType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("dls", T.ArrayType(T.IntegerType()), False),
     ]
-)
+    if with_positions:
+        # flattened positions in doc order; per-doc counts = tfs
+        fields.append(T.StructField("positions", T.ArrayType(T.IntegerType()), False))
+    return T.StructType(fields)
 
-ENC_SCHEMA = T.StructType(
-    [
+
+def _enc_schema(with_positions: bool) -> T.StructType:
+    fields = [
         T.StructField("tbucket", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("seg", T.IntegerType(), False),
@@ -90,36 +97,63 @@ ENC_SCHEMA = T.StructType(
         T.StructField("block_last", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
         T.StructField("block_min_dl", T.ArrayType(T.IntegerType()), False),
-        T.StructField("pos_bytes", T.BinaryType(), True),
     ]
-)
+    if with_positions:
+        fields.append(T.StructField("pos_bytes", T.BinaryType(), True))
+    return T.StructType(fields)
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
     """Deterministic term → directory bucket (crc32 — stable across runs,
-    processes and Spark/DuckDB, unlike builtin hash)."""
+    processes and executors, unlike the salted builtin hash)."""
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def encode_chunks(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFrame:
-    """Vectorized encode of one Arrow batch of flat rows, pre-sorted by
-    (term, seg, doc_ord). Emits one posting-chunk row per (term, seg) run
-    in the batch. A (term, seg) group that spans Arrow batches simply
-    yields several chunk rows with disjoint ordered doc ranges — readers
-    concatenate chunks sorted by (seg, min_doc), so batch splits are
-    harmless (and bound block arrays to <=512 entries per chunk)."""
-    n = len(pdf)
-    if n == 0:
-        return pd.DataFrame({f.name: [] for f in ENC_SCHEMA.fields})
-    terms = pdf["term"].to_numpy(object)
-    segs = pdf["seg"].to_numpy(np.int32)
-    docs = pdf["doc_ord"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    dls = pdf["dl"].to_numpy(np.int64)
+def _encode_positions_flat(
+    pos_flat: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized positional encoding for MANY docs at once: returns
+    (stream, doc_start_offsets_in_stream) where stream is the
+    concatenation of per-doc [npos, first_pos, pos_delta...] blocks —
+    byte-compatible with codec.encode_positions/decode_positions."""
+    n_docs = len(counts)
+    doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    deltas = pos_flat.astype(np.int64, copy=True)
+    if len(pos_flat):
+        deltas[1:] = pos_flat[1:] - pos_flat[:-1]
+        deltas[doc_starts] = pos_flat[doc_starts]
+    out = np.empty(n_docs + len(pos_flat), dtype=np.uint64)
+    out_doc_starts = doc_starts + np.arange(n_docs)
+    mask = np.ones(len(out), dtype=bool)
+    mask[out_doc_starts] = False
+    out[out_doc_starts] = counts.astype(np.uint64)
+    out[mask] = deltas.astype(np.uint64)
+    return out, out_doc_starts
 
-    new_group = np.ones(n, dtype=bool)
-    new_group[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
-    gstarts = np.flatnonzero(new_group)
+
+def encode_grouped(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFrame:
+    """Vectorized encode of one Arrow batch of GROUPED rows, pre-sorted by
+    (term, seg, min_doc). Emits one posting-chunk row per (term, seg) run
+    in the batch. A run that spans Arrow batches yields several chunk rows
+    with disjoint ordered doc ranges — readers concatenate chunks sorted
+    by (seg, min_doc), so batch splits are harmless."""
+    out_cols = [f.name for f in _enc_schema(with_positions).fields]
+    nrows = len(pdf)
+    if nrows == 0:
+        return pd.DataFrame({c: [] for c in out_cols})
+    r_terms = pdf["term"].to_numpy(object)
+    r_segs = pdf["seg"].to_numpy(np.int32)
+    r_lens = pdf["doc_ords"].map(len).to_numpy(np.int64)
+    docs = np.concatenate(pdf["doc_ords"].to_numpy()).astype(np.int64)
+    tfs = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
+    dls = np.concatenate(pdf["dls"].to_numpy()).astype(np.int64)
+    n = len(docs)
+
+    new_row_group = np.ones(nrows, dtype=bool)
+    new_row_group[1:] = (r_terms[1:] != r_terms[:-1]) | (r_segs[1:] != r_segs[:-1])
+    grow = np.flatnonzero(new_row_group)  # first ROW of each group
+    val_off = np.concatenate(([0], np.cumsum(r_lens)))
+    gstarts = val_off[grow]  # first VALUE of each group
     gends = np.append(gstarts[1:], n)
     glens = gends - gstarts
 
@@ -142,42 +176,47 @@ def encode_chunks(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFra
     blk_last = docs[bends - 1]
     blk_maxtf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
     blk_mindl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
-    gid = np.cumsum(new_group) - 1
-    nblocks = np.bincount(gid[bstarts], minlength=len(gstarts))
+    gid_vals = np.repeat(np.arange(len(gstarts)), glens)
+    nblocks = np.bincount(gid_vals[bstarts], minlength=len(gstarts))
     bsplit = np.cumsum(nblocks)[:-1]
 
-    if with_positions and "positions" in pdf.columns:
-        pos_lists = pdf["positions"].to_numpy(object)
-        pos_bytes: list[bytes | None] = [
-            codec.encode_positions([np.asarray(pos_lists[i]) for i in range(s, e)])
-            for s, e in zip(gstarts, gends)
+    out = {
+        "tbucket": pdf["tbucket"].to_numpy(np.int32)[grow],
+        "term": r_terms[grow],
+        "seg": r_segs[grow],
+        "min_doc": docs[gstarts],
+        "max_doc": docs[gends - 1],
+        "df_chunk": glens.astype(np.int64),
+        "sum_tf": np.add.reduceat(tfs, gstarts).astype(np.int64),
+        "doc_bytes": [bytes(doc_buf[o : o + l]) for o, l in zip(doc_off, doc_gb)],
+        "tf_bytes": [bytes(tf_buf[o : o + l]) for o, l in zip(tf_off, tf_gb)],
+        "block_last": np.split(blk_last, bsplit),
+        "block_max_tf": np.split(blk_maxtf, bsplit),
+        "block_min_dl": np.split(blk_mindl, bsplit),
+    }
+    if with_positions:
+        pos_flat = np.concatenate(pdf["positions"].to_numpy()).astype(np.int64)
+        stream, out_doc_starts = _encode_positions_flat(pos_flat, tfs)
+        p_nb = codec.varint_nbytes(stream)
+        p_buf = codec.varint_encode(stream)
+        # group g covers docs [gstarts[g], gends[g]) → stream slice between
+        # the doc-start offsets of its first doc and the next group's first
+        stream_starts = out_doc_starts[gstarts]
+        stream_ends = np.append(stream_starts[1:], len(stream))
+        byte_pos = np.concatenate(([0], np.cumsum(p_nb)))
+        out["pos_bytes"] = [
+            bytes(p_buf[byte_pos[a] : byte_pos[b]])
+            for a, b in zip(stream_starts, stream_ends)
         ]
-    else:
-        pos_bytes = [None] * len(gstarts)
-
-    return pd.DataFrame(
-        {
-            "tbucket": pdf["tbucket"].to_numpy(np.int32)[gstarts],
-            "term": terms[gstarts],
-            "seg": segs[gstarts],
-            "min_doc": docs[gstarts],
-            "max_doc": docs[gends - 1],
-            "df_chunk": glens.astype(np.int64),
-            "sum_tf": np.add.reduceat(tfs, gstarts).astype(np.int64),
-            "doc_bytes": [bytes(doc_buf[o : o + l]) for o, l in zip(doc_off, doc_gb)],
-            "tf_bytes": [bytes(tf_buf[o : o + l]) for o, l in zip(tf_off, tf_gb)],
-            "block_last": np.split(blk_last, bsplit),
-            "block_max_tf": np.split(blk_maxtf, bsplit),
-            "block_min_dl": np.split(blk_mindl, bsplit),
-            "pos_bytes": pos_bytes,
-        }
-    )
+    return pd.DataFrame(out)[out_cols]
 
 
-def _tokenize_flat(
+def _tokenize_grouped(
     docs: DataFrame, n_docs: int, n_segments: int, n_buckets: int, with_positions: bool
 ) -> DataFrame:
-    """doc_stats slice → flat (doc_ord, seg, tbucket, term, tf, dl) rows."""
+    """doc_stats slice → grouped (term, seg) posting-run rows (map-side
+    combine: one row per term per Arrow batch, array columns)."""
+    schema = _grouped_schema(with_positions)
 
     def gen(batches):
         for pdf in batches:
@@ -185,26 +224,36 @@ def _tokenize_flat(
             if len(g) == 0:
                 continue
             ords = pdf["doc_ord"].to_numpy(np.int64)[g["row"].to_numpy(np.int64)]
-            out = pd.DataFrame(
-                {
-                    "doc_ord": ords,
-                    "seg": np.minimum(
-                        ords * n_segments // n_docs, n_segments - 1
-                    ).astype(np.int32),
-                    "term": g["term"].to_numpy(object),
-                    "tf": g["tf"].to_numpy(np.int32),
-                    "dl": g["dl"].to_numpy(np.int32),
-                }
-            )
-            # bucket via the batch's unique terms (vocab-bounded, not row-bounded)
-            lut = {t: term_bucket(t, n_buckets) for t in pd.unique(out["term"])}
-            out["tbucket"] = out["term"].map(lut).astype(np.int32)
-            out["positions"] = (
-                g["positions"].to_numpy(object) if with_positions else None
-            )
-            yield out[[f.name for f in FLAT_SCHEMA.fields]]
+            segs = np.minimum(ords * n_segments // n_docs, n_segments - 1).astype(np.int32)
+            order = np.lexsort((ords, segs, g["term"].to_numpy(object)))
+            terms = g["term"].to_numpy(object)[order]
+            ords, segs = ords[order], segs[order]
+            tfs = g["tf"].to_numpy(np.int32)[order]
+            dls = g["dl"].to_numpy(np.int32)[order]
+            new_g = np.ones(len(terms), dtype=bool)
+            new_g[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
+            starts = np.flatnonzero(new_g)
+            split = starts[1:]
+            ut = terms[starts]
+            lut = {t: term_bucket(t, n_buckets) for t in dict.fromkeys(ut)}
+            out = {
+                "term": ut,
+                "seg": segs[starts],
+                "tbucket": pd.Series(ut).map(lut).to_numpy(np.int32),
+                "min_doc": ords[starts],
+                "doc_ords": np.split(ords, split),
+                "tfs": np.split(tfs, split),
+                "dls": np.split(dls, split),
+            }
+            if with_positions:
+                plists = g["positions"].to_numpy(object)[order]
+                pos_flat = np.concatenate(plists).astype(np.int32)
+                counts = tfs.astype(np.int64)
+                val_off = np.concatenate(([0], np.cumsum(counts)))
+                out["positions"] = np.split(pos_flat, val_off[split])
+            yield pd.DataFrame(out)[[f.name for f in schema.fields]]
 
-    return docs.select("doc_ord", "text").mapInPandas(gen, FLAT_SCHEMA)
+    return docs.select("doc_ord", "text").mapInPandas(gen, schema)
 
 
 @dataclass
@@ -275,6 +324,8 @@ def build_index(
 
         t0 = time.time()
         (
+            # assign_doc_ordinals already range-partitioned and sorted by
+            # the ordinal order — no extra shuffle here, just the dl pass
             docs.withColumn("dl", doc_length_udf("text"))
             .withColumn(
                 "seg",
@@ -287,8 +338,6 @@ def build_index(
                 "doc_ord", "doc_id", "conv_id", "turn_idx", "role", "tool",
                 "ts", "dl", "seg", "text",
             )
-            .repartitionByRange(n_parts, "doc_ord")
-            .sortWithinPartitions("doc_ord")
             .write.mode("overwrite")
             .parquet(doc_stats_path)
         )
@@ -323,6 +372,7 @@ def build_index(
     result = BuildResult(
         vdir, n_docs, ds_meta["avgdl"], ds_meta["total_tokens"]
     )
+    enc_schema = _enc_schema(with_positions)
     for b in range(n_batches):
         bk = os.path.join(ckpt_dir, f"batch_{b:05d}.json")
         if resume and os.path.exists(bk):
@@ -333,13 +383,13 @@ def build_index(
         slice_df = doc_stats.filter(
             (F.col("doc_ord") >= lo) & (F.col("doc_ord") < hi)
         )
-        flat = _tokenize_flat(slice_df, n_docs, n_segments, n_buckets, with_positions)
+        grouped = _tokenize_grouped(slice_df, n_docs, n_segments, n_buckets, with_positions)
         enc = (
-            flat.repartition(n_parts, "tbucket", "seg")
-            .sortWithinPartitions("term", "seg", "doc_ord")
+            grouped.repartition(n_parts, "tbucket", "seg")
+            .sortWithinPartitions("term", "seg", "min_doc")
             .mapInPandas(
-                lambda it: (encode_chunks(pdf, with_positions) for pdf in it),
-                ENC_SCHEMA,
+                lambda it: (encode_grouped(pdf, with_positions) for pdf in it),
+                enc_schema,
             )
         )
         batch_path = os.path.join(postings_root, f"batch={b}")

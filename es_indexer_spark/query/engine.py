@@ -49,8 +49,8 @@ from . import scoring
 _POSTING_COLS = [
     "term", "seg", "min_doc", "max_doc", "df_chunk",
     "doc_bytes", "tf_bytes", "block_last", "block_max_tf", "block_min_dl",
-    "pos_bytes",
 ]
+_POS_COL = "pos_bytes"  # present only when the index was built with positions
 
 
 def auto_fuzziness(term: str) -> int:
@@ -81,10 +81,16 @@ class IndexSearcher:
         self.synonyms = SynonymSet()
 
     # ------------------------------------------------------------------ IO
+    def _posting_cols(self) -> list[str]:
+        cols = list(_POSTING_COLS)
+        if self.manifest.get("with_positions"):
+            cols.append(_POS_COL)
+        return cols
+
     def _postings_pdf(self, terms: list[str]) -> pd.DataFrame:
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         filt = pc.field("tbucket").isin(buckets) & pc.field("term").isin(terms)
-        tbl = self._postings_ds.to_table(columns=_POSTING_COLS, filter=filt)
+        tbl = self._postings_ds.to_table(columns=self._posting_cols(), filter=filt)
         pdf = tbl.to_pandas()
         return pdf.sort_values(["term", "seg", "min_doc"]).reset_index(drop=True)
 
@@ -351,7 +357,7 @@ class IndexSearcher:
         postings = (
             self.spark.read.parquet(os.path.join(self.vdir, "postings"))
             .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(uniq_terms))
-            .select(*_POSTING_COLS)
+            .select(*self._posting_cols())
         )
         doc_side = self.doc_stats_df().select("seg", "doc_ord", "dl", "role", "tool")
         n_docs, avgdl = self.n_docs, self.avgdl
