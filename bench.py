@@ -73,14 +73,25 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # ---- 1. index build ---------------------------------------------------
-    n_convs = max(200, int(20000 * sf * 10)) if sf > 0 else 2000
-    docs_tx = documents_as_transcripts(spark, sf_dir)
-    synth_tx = synth_transcripts(spark, n_convs=n_convs, turns_per_conv=10, seed=42)
-    corpus = docs_tx.unionByName(synth_tx)
+    scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS")
+    input_sorted = False
+    if scaling_convs:
+        # scaling_run.py: pure synthetic corpus, parallelism-invariant and
+        # generated in (conv_id, turn_idx) order → sorted-input fast path
+        # (the standard layout of the production transcript table)
+        input_sorted = True
+        corpus = synth_transcripts(
+            spark, n_convs=int(scaling_convs), turns_per_conv=10, seed=42
+        )
+    else:
+        n_convs = max(200, int(20000 * sf * 10)) if sf > 0 else 2000
+        docs_tx = documents_as_transcripts(spark, sf_dir)
+        synth_tx = synth_transcripts(spark, n_convs=n_convs, turns_per_conv=10, seed=42)
+        corpus = docs_tx.unionByName(synth_tx)
 
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     t0 = time.time()
-    res = build_index(spark, corpus, idx_dir, n_buckets=64)
+    res = build_index(spark, corpus, idx_dir, n_buckets=64, input_sorted=input_sorted)
     build_s = time.time() - t0
     queries["index_build"] = round(build_s, 3)
     turns_per_sec = res.n_docs / build_s
@@ -96,6 +107,7 @@ def main() -> None:
         # ---- 2. query latency suite ---------------------------------------
         searcher = IndexSearcher(spark, idx_dir)
         searcher.search(["the"], k=10)  # warm (norms load + arrow datasets)
+        searcher.term_dictionary()  # warm the dictionary (suggest/fuzzy path)
         lats_all = []
         for name, kw in QUERY_SET:
             lats = []

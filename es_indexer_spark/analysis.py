@@ -184,22 +184,35 @@ def term_freqs_batch(texts: pd.Series, with_positions: bool = False) -> pd.DataF
         return pd.DataFrame(cols)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
     row_ids = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    # integer-key aggregation: factorize the token strings once (C-speed),
+    # then combine (row, term_code) into one int64 key and count with
+    # np.unique — ~4x faster than a pandas object groupby on this shape
+    codes, uniq_terms = pd.factorize(flat, sort=False)
+    key = (row_ids << np.int64(32)) | codes.astype(np.int64)
     if with_positions:
-        # position of each token within its doc
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        pos = np.arange(lens.sum(), dtype=np.int32) - np.repeat(starts, lens)
-        df = pd.DataFrame({"row": row_ids, "term": flat, "pos": pos})
-        g = (
-            df.groupby(["row", "term"], sort=False)["pos"]
-            .agg(list)
-            .reset_index()
-            .rename(columns={"pos": "positions"})
+        pos = (np.arange(lens.sum(), dtype=np.int64) - np.repeat(starts, lens)).astype(np.int32)
+        order = np.argsort(key, kind="stable")  # stable: positions stay ascending
+        skey, spos = key[order], pos[order]
+        uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
+        split = np.cumsum(counts)[:-1]
+        g = pd.DataFrame(
+            {
+                "row": (uk >> np.int64(32)).astype(np.int64),
+                "term": uniq_terms[(uk & np.int64(0xFFFFFFFF)).astype(np.int64)],
+                "tf": counts.astype(np.int32),
+                "positions": np.split(spos, split),
+            }
         )
-        g["tf"] = g["positions"].map(len).astype(np.int32)
     else:
-        df = pd.DataFrame({"row": row_ids, "term": flat})
-        g = df.groupby(["row", "term"], sort=False).size().reset_index(name="tf")
-        g["tf"] = g["tf"].astype(np.int32)
+        uk, counts = np.unique(key, return_counts=True)
+        g = pd.DataFrame(
+            {
+                "row": (uk >> np.int64(32)).astype(np.int64),
+                "term": uniq_terms[(uk & np.int64(0xFFFFFFFF)).astype(np.int64)],
+                "tf": counts.astype(np.int32),
+            }
+        )
     g["dl"] = lens[g["row"].to_numpy()].astype(np.int32)
     return g
 

@@ -92,43 +92,48 @@ def synth_transcripts(
     base_epoch = 1_700_000_000  # fixed; no wall-clock
 
     def gen(batches):
+        # one vectorized pass per Arrow batch of conversation ids: a single
+        # seeded RNG stream per conv keeps determinism (identical corpus at
+        # any parallelism) while all array work happens batch-at-once
         for pdf in batches:
-            out = []
-            for conv in pdf["id"].to_numpy():
+            convs = pdf["id"].to_numpy(np.int64)
+            if len(convs) == 0:
+                continue
+            nt_all, role_all, tool_all, tok_parts = [], [], [], []
+            for conv in convs:
                 rng = np.random.default_rng(seed * 1_000_003 + int(conv))
                 n_tokens = rng.integers(5, 60, size=turns_per_conv)
                 total = int(n_tokens.sum())
                 toks = rng.choice(vocab, size=total, p=zipf_p)
                 odd_mask = rng.random(total) < 0.03
                 toks[odd_mask] = rng.choice(_ODDITIES, size=int(odd_mask.sum()))
-                roles = rng.choice(ROLES, size=turns_per_conv, p=ROLE_P)
-                tools = np.where(
-                    roles == "tool", rng.choice(TOOLS, size=turns_per_conv), None
-                )
-                bounds = np.concatenate(([0], np.cumsum(n_tokens)))
-                texts = [
-                    " ".join(toks[bounds[i] : bounds[i + 1]])
-                    for i in range(turns_per_conv)
-                ]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": f"conv{int(conv):08d}",
-                            "turn_idx": np.arange(turns_per_conv, dtype=np.int32),
-                            "role": roles,
-                            "text": texts,
-                            "tool": tools,
-                            "ts": pd.to_datetime(
-                                base_epoch
-                                + int(conv) * 3600
-                                + np.arange(turns_per_conv) * 7,
-                                unit="s",
-                            ),
-                        }
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                nt_all.append(n_tokens)
+                role_all.append(rng.choice(ROLES, size=turns_per_conv, p=ROLE_P))
+                tool_all.append(rng.choice(TOOLS, size=turns_per_conv))
+                tok_parts.append(toks)
+            n_tokens = np.concatenate(nt_all)
+            roles = np.concatenate(role_all)
+            tools_raw = np.concatenate(tool_all)
+            flat = np.concatenate(tok_parts)
+            bounds = np.concatenate(([0], np.cumsum(n_tokens)))
+            texts = [
+                " ".join(flat[bounds[i] : bounds[i + 1]])
+                for i in range(len(n_tokens))
+            ]
+            turn_idx = np.tile(np.arange(turns_per_conv, dtype=np.int32), len(convs))
+            conv_rep = np.repeat(convs, turns_per_conv)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(conv_rep).map("conv{:08d}".format),
+                    "turn_idx": turn_idx,
+                    "role": roles,
+                    "text": texts,
+                    "tool": np.where(roles == "tool", tools_raw, None),
+                    "ts": pd.to_datetime(
+                        base_epoch + conv_rep * 3600 + turn_idx * 7, unit="s"
+                    ),
+                }
+            )
 
     parts = partitions or max(1, min(n_convs, spark.sparkContext.defaultParallelism))
     return spark.range(0, n_convs, numPartitions=parts).mapInPandas(
@@ -154,6 +159,7 @@ def assign_doc_ordinals(
     df: DataFrame,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """Dense int64 ``doc_ord`` in stable ``key_cols`` order, scalably.
 
@@ -165,13 +171,23 @@ def assign_doc_ordinals(
     Range partitioning guarantees partition p's keys all precede partition
     p+1's, and the within-partition sort orders the rest, so ordinals are
     globally consistent with ``ORDER BY key_cols``.
+
+    ``assume_sorted=True`` skips the shuffle (and the range-partitioner
+    sampling pass) when the input is ALREADY globally ordered by
+    ``key_cols`` across its partitions — e.g. an Iceberg/Parquet table
+    maintained sorted by (conv_id, turn_idx), which is this table's
+    standard layout, or the seeded synthetic corpus (conversation ranges
+    per partition). The counting pass is then the only extra traversal.
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = (
-        df.repartitionByRange(n, *key_cols)
-        .sortWithinPartitions(*key_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    if assume_sorted:
+        part = df.withColumn("_pid", F.spark_partition_id())
+    else:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        part = (
+            df.repartitionByRange(n, *key_cols)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
     part.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["cnt"]
@@ -199,8 +215,10 @@ def assign_doc_ordinals(
 
     out = part.mapInPandas(enumerate_partition, schema).drop("_pid")
     # let callers release the cached shuffle once downstream stages are
-    # materialized (build_index unpersists after doc_stats is written)
+    # materialized (build_index unpersists after doc_stats is written);
+    # total count rides along for free (sum of per-partition counts)
     out._persisted_parent = part
+    out._total_count = acc
     return out
 
 

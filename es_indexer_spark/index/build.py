@@ -289,15 +289,22 @@ def build_index(
     with_positions: bool = False,
     resume: bool = True,
     publish: bool = True,
+    input_sorted: bool = False,
 ) -> BuildResult:
     """Build (or resume) an index version over a transcript DataFrame
-    (conv_id, turn_idx, role, text, tool, ts) and atomically publish it."""
-    docs = assign_doc_ordinals(with_doc_ids(df))
-    n_docs = docs.count()
+    (conv_id, turn_idx, role, text, tool, ts) and atomically publish it.
+
+    ``input_sorted=True`` declares the input already globally ordered by
+    (conv_id, turn_idx) across partitions (the standard layout for this
+    table), skipping the ordinal-assignment shuffle."""
+    docs = assign_doc_ordinals(with_doc_ids(df), assume_sorted=input_sorted)
+    n_docs = docs._total_count
     if n_segments is None:
-        # ~4M docs per segment at scale; always >=1. Segments are both the
-        # skew-salt ranges and the resume/lineage partitions.
-        n_segments = max(1, min(65536, -(-n_docs // 4_000_000)))
+        # ~1M docs per segment; always >=1. Segments are the skew-salt
+        # ranges, the resume/lineage partitions, AND the shuffle-key
+        # spreader: key cardinality = n_buckets * n_segments must exceed
+        # task slots comfortably or hash collisions idle whole cores.
+        n_segments = max(1, min(65536, -(-n_docs // 1_000_000)))
     n_segments = max(n_segments, n_batches)
     params = {
         "n_buckets": n_buckets,
@@ -338,8 +345,10 @@ def build_index(
                 "doc_ord", "doc_id", "conv_id", "turn_idx", "role", "tool",
                 "ts", "dl", "seg", "text",
             )
+            # batch=0 subdir: incremental appends (streaming/incremental.py)
+            # later add sibling batch=N directories idempotently
             .write.mode("overwrite")
-            .parquet(doc_stats_path)
+            .parquet(os.path.join(doc_stats_path, "batch=0"))
         )
         stats = (
             spark.read.parquet(doc_stats_path)
@@ -406,7 +415,7 @@ def build_index(
             )
             .collect()
         )
-        turns = slice_df.count()
+        turns = hi - lo  # ordinals are dense, so the slice size is exact
         segs = {
             str(r["seg"]): {
                 "chunks": r["chunks"],

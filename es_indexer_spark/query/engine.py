@@ -75,10 +75,15 @@ class IndexSearcher:
         self._postings_ds = pads.dataset(
             os.path.join(vdir, "postings"), partitioning="hive", format="parquet"
         )
-        self._doc_ds = pads.dataset(os.path.join(vdir, "doc_stats"), format="parquet")
+        self._doc_ds = pads.dataset(
+            os.path.join(vdir, "doc_stats"), partitioning="hive", format="parquet"
+        )
         self._norms: dict | None = None
         self._term_dict: pd.DataFrame | None = None
         self.synonyms = SynonymSet()
+        from ..streaming.incremental import load_tombstones
+
+        self.tombstones = load_tombstones(vdir)  # deleted doc_ords (sorted)
 
     # ------------------------------------------------------------------ IO
     def _posting_cols(self) -> list[str]:
@@ -185,7 +190,7 @@ class IndexSearcher:
         nm = self._load_norms()
         boost_of, max_boost = self._boost_arrays(role_boosts, tool_boosts)
         kern = scoring.blockmax_topk if strategy == "blockmax" else scoring.exhaustive_topk
-        kwargs = dict(dl_base=0, boost_of=boost_of, mode=mode)
+        kwargs = dict(dl_base=0, boost_of=boost_of, mode=mode, deleted=self.tombstones)
         if strategy == "blockmax":
             kwargs["max_boost"] = max_boost
         docs, scores = kern(views, nm["dl"], self.avgdl, k, **kwargs)
@@ -203,6 +208,8 @@ class IndexSearcher:
         acc = sets[0]
         for s in sets[1:]:
             acc = np.intersect1d(acc, s) if mode == "and" else np.union1d(acc, s)
+        if len(self.tombstones):
+            acc = acc[~np.isin(acc, self.tombstones)]
         return int(len(acc))
 
     def phrase_search(self, phrase: str, k: int = 10) -> pd.DataFrame:
@@ -221,6 +228,8 @@ class IndexSearcher:
         by_term = {v.term: v for v in views}
         ordered = [by_term[t] for t in terms]
         hits = scoring.phrase_docs(ordered, inter) if len(terms) > 1 else inter
+        if len(self.tombstones):
+            hits = hits[~np.isin(hits, self.tombstones)]
         nm = self._load_norms()
         # score every AND-matching doc, keep the phrase hits, then top-k
         docs, scores = scoring.exhaustive_topk(
@@ -363,6 +372,7 @@ class IndexSearcher:
         n_docs, avgdl = self.n_docs, self.avgdl
         rb, tb = role_boosts or {}, tool_boosts or {}
         max_boost = max([1.0] + list(rb.values()) + list(tb.values()))
+        tombstones = self.tombstones  # small; broadcast-join a DF if huge
 
         def score_seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
             if len(pq) == 0 or len(dq) == 0:
@@ -388,7 +398,7 @@ class IndexSearcher:
             kern = (
                 scoring.blockmax_topk if strategy == "blockmax" else scoring.exhaustive_topk
             )
-            kw = dict(dl_base=base, boost_of=boost_of, mode=mode)
+            kw = dict(dl_base=base, boost_of=boost_of, mode=mode, deleted=tombstones)
             if strategy == "blockmax":
                 kw["max_boost"] = max_boost
             docs, scores = kern(views, dl_of, avgdl, k, **kw)

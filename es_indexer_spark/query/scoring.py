@@ -136,6 +136,7 @@ def _score_gathered(
     avgdl: float,
     boost_of: np.ndarray | None,
     mode: str,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact-score the union of gathered postings (one (docs, tfs) pair per
     term, term order = sorted — fixed float64 summation order).
@@ -161,6 +162,10 @@ def _score_gathered(
     if mode == "and":
         keep = counts == len(views)
         uniq, scores = uniq[keep], scores[keep]
+    if deleted is not None and len(deleted) and len(uniq):
+        # tombstoned docs (streaming delete/upsert) never enter the heap
+        keep = ~np.isin(uniq, deleted, assume_unique=False)
+        uniq, scores = uniq[keep], scores[keep]
     if boost_of is not None and len(uniq):
         scores = scores * boost_of[uniq - dl_base]
     return uniq, scores
@@ -175,6 +180,7 @@ def exhaustive_topk(
     dl_base: int = 0,
     boost_of: np.ndarray | None = None,
     mode: str = "or",
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     views = sorted(views, key=lambda v: v.term)
     if mode == "and" and any(v.df == 0 for v in views):
@@ -183,7 +189,9 @@ def exhaustive_topk(
     if not views:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     gathered = [v.decode_all() for v in views]
-    docs, scores = _score_gathered(views, gathered, dl_of, dl_base, avgdl, boost_of, mode)
+    docs, scores = _score_gathered(
+        views, gathered, dl_of, dl_base, avgdl, boost_of, mode, deleted
+    )
     return bm25.topk_desc(scores, docs, k)
 
 
@@ -197,6 +205,7 @@ def blockmax_topk(
     boost_of: np.ndarray | None = None,
     max_boost: float = 1.0,
     mode: str = "or",
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruned exact top-k (see module docstring)."""
     views = sorted(views, key=lambda v: v.term)
@@ -247,7 +256,7 @@ def blockmax_topk(
         lo, hi = int(iv_lo[idx]), int(iv_hi[idx])
         gathered = [v.gather(lo, hi) for v in views]
         docs, scores = _score_gathered(
-            views, gathered, dl_of, dl_base, avgdl, boost_of, mode
+            views, gathered, dl_of, dl_base, avgdl, boost_of, mode, deleted
         )
         if len(docs) == 0:
             continue

@@ -1,0 +1,238 @@
+"""Incremental indexing: streaming append, single-doc upsert, delete.
+
+The reference has no stream processing (SURVEY §2.10) — its closest
+analogues are the month-bucketed incremental batches
+(``DatasetProvider.java:63-90``), the single-doc ``@Async`` upsert path
+(``IndexerMetadataServiceImpl.java:415-451``, ``_id``-keyed so replays are
+idempotent) and delete (``:453-474``). This module re-expresses those as:
+
+- ``append_batch``: index a new slice of transcripts as additional posting
+  batches INSIDE the current version — new docs get ordinals [N, N+m) and
+  fresh segment ids, so every existing chunk stays valid and the published
+  manifest flips atomically (readers see the old or the new doc count,
+  never a torn state);
+- ``incremental_index``: Structured Streaming driver — ``foreachBatch``
+  over any stream of transcript rows, each micro-batch an ``append_batch``
+  (exactly-once per epoch via the streaming checkpoint + our idempotent
+  batch directories);
+- ``delete_docs`` / ``upsert_docs``: Lucene-style tombstones — a deleted
+  doc_ord set consulted at query time; upsert = tombstone the old turn +
+  append the new one. Compaction = a fresh full build (blue/green swap),
+  exactly how the reference's reindex-all works.
+
+BM25 global stats (N, avgdl, df) are recomputed from the updated
+doc_stats/postings at each publish, so scores after an append equal a
+from-scratch build over the union corpus (idf is a corpus-wide statistic;
+tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index import catalog
+from ..index.build import _enc_schema, _tokenize_grouped, encode_grouped
+
+
+def _next_batch_id(postings_root: str) -> int:
+    if not os.path.isdir(postings_root):
+        return 0
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(postings_root)
+        if d.startswith("batch=")
+    ]
+    return max(ids) + 1 if ids else 0
+
+
+def append_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    index_dir: str,
+    epoch_id: int | None = None,
+) -> dict:
+    """Append a batch of NEW transcript turns to the current index version.
+
+    Idempotent per epoch: the batch directory is derived from ``epoch_id``
+    when given (streaming replays overwrite, never duplicate — the Spark
+    analogue of the reference's retry-until-success upsert,
+    ``IndexServiceImpl.java:167-221``)."""
+    from ..analysis import doc_length_udf
+    from ..corpus import with_doc_ids
+
+    vdir = catalog.current_version_dir(index_dir)
+    if vdir is None:
+        raise FileNotFoundError(f"no published index in {index_dir}")
+    manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
+    n_before = int(manifest["n_docs"])
+    n_buckets = int(manifest["n_buckets"])
+    with_positions = bool(manifest["with_positions"])
+    postings_root = os.path.join(vdir, "postings")
+    bid = _next_batch_id(postings_root) if epoch_id is None else 10_000 + int(epoch_id)
+    seg_id = int(manifest["n_segments"]) + bid  # fresh segment label per batch
+
+    # ordinals continue densely after the existing corpus, in stable
+    # (conv_id, turn_idx) order within the batch
+    batch = (
+        with_doc_ids(df)
+        .repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 4),
+                            "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    from ..corpus import assign_doc_ordinals
+
+    docs = assign_doc_ordinals(batch, assume_sorted=True)
+    m = docs._total_count
+    docs = docs.withColumn("doc_ord", F.col("doc_ord") + F.lit(n_before))
+    if m == 0:
+        return {"appended": 0, "n_docs": n_before}
+
+    doc_slice = (
+        docs.withColumn("dl", doc_length_udf("text"))
+        .withColumn("seg", F.lit(seg_id))
+        .select(
+            "doc_ord", "doc_id", "conv_id", "turn_idx", "role", "tool",
+            "ts", "dl", "seg", "text",
+        )
+    )
+    # idempotent per-epoch append: distinct partition directory, overwrite
+    ds_batch = os.path.join(vdir, "doc_stats", f"batch={bid}")
+    doc_slice.write.mode("overwrite").parquet(ds_batch)
+    doc_slice = spark.read.parquet(ds_batch)
+
+    n_total = n_before + m
+    grouped = _tokenize_grouped(
+        doc_slice.withColumn("doc_ord", F.col("doc_ord")),  # already offset
+        n_docs=1, n_segments=1, n_buckets=n_buckets, with_positions=with_positions,
+    ).withColumn("seg", F.lit(seg_id))
+    enc = (
+        grouped.repartition(
+            max(1, spark.sparkContext.defaultParallelism // 2), "tbucket"
+        )
+        .sortWithinPartitions("term", "seg", "min_doc")
+        .mapInPandas(
+            lambda it: (encode_grouped(pdf, with_positions) for pdf in it),
+            _enc_schema(with_positions),
+        )
+    )
+    enc.write.mode("overwrite").partitionBy("tbucket").parquet(
+        os.path.join(postings_root, f"batch={bid}")
+    )
+
+    # recompute global stats + term dictionary, then atomic manifest flip
+    stats = (
+        spark.read.parquet(os.path.join(vdir, "doc_stats"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"), F.avg("dl").alias("avg"))
+        .collect()[0]
+    )
+    _rebuild_term_stats(spark, vdir, n_buckets)
+    manifest.update(
+        {
+            "n_docs": int(stats["n"]),
+            "total_tokens": int(stats["tot"] or 0),
+            "avgdl": float(stats["avg"] or 0.0),
+        }
+    )
+    catalog.write_json(os.path.join(vdir, "manifest.json"), manifest)
+    catalog.write_json(
+        os.path.join(vdir, "checkpoints", f"append_{bid:05d}.json"),
+        {"batch": bid, "epoch_id": epoch_id, "appended": m,
+         "doc_ord_range": [n_before, n_total], "seg": seg_id},
+    )
+    assert int(stats["n"]) == n_total, "doc_stats count drifted from ordinals"
+    return {"appended": m, "n_docs": n_total, "batch": bid}
+
+
+def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int) -> None:
+    from pyspark.sql import types as T
+
+    from ..index.build import term_bucket
+
+    postings = spark.read.parquet(os.path.join(vdir, "postings"))
+    tmp = os.path.join(vdir, "term_stats_new")
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("df_chunk").alias("df"),
+            F.sum("sum_tf").alias("total_tf"),
+            F.count("*").alias("n_chunks"),
+            F.max(F.array_max("block_max_tf")).alias("max_tf"),
+        )
+        .withColumn(
+            "tbucket",
+            F.udf(lambda t: term_bucket(t, n_buckets), T.IntegerType())("term"),
+        )
+        .repartitionByRange(max(1, n_buckets // 16), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    final = os.path.join(vdir, "term_stats")
+    import shutil
+
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+
+
+def incremental_index(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Structured Streaming driver: any stream of transcript-shaped rows →
+    per-micro-batch index append. Exactly-once per epoch: the streaming
+    checkpoint replays failed epochs and append_batch overwrites the same
+    epoch-derived batch directory."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        append_batch(batch_df.sparkSession, batch_df, index_dir, epoch_id=epoch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()
+
+
+# ----------------------------------------------------------------- tombstones
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[str]) -> int:
+    """S10 doc delete: tombstone by doc_id (Lucene-style — postings stay,
+    results are masked; compaction = full rebuild/blue-green swap)."""
+    vdir = catalog.current_version_dir(index_dir)
+    ds = spark.read.parquet(os.path.join(vdir, "doc_stats"))
+    ords = [
+        int(r["doc_ord"])
+        for r in ds.filter(F.col("doc_id").isin(doc_ids)).select("doc_ord").collect()
+    ]
+    path = os.path.join(vdir, "tombstones.json")
+    cur = set(catalog.read_json(path)["doc_ords"]) if os.path.exists(path) else set()
+    cur.update(ords)
+    catalog.write_json(path, {"doc_ords": sorted(cur)})
+    return len(ords)
+
+
+def load_tombstones(vdir: str) -> np.ndarray:
+    path = os.path.join(vdir, "tombstones.json")
+    if not os.path.exists(path):
+        return np.zeros(0, dtype=np.int64)
+    return np.asarray(catalog.read_json(path)["doc_ords"], dtype=np.int64)
+
+
+def upsert_docs(spark: SparkSession, df: DataFrame, index_dir: str) -> dict:
+    """S11 single/multi-doc upsert: tombstone existing (conv_id, turn_idx)
+    versions, then append the new turns (``_id``-keyed update semantics of
+    ``IndexerMetadataServiceImpl.java:429-435``)."""
+    from ..corpus import with_doc_ids
+
+    ids = [r["doc_id"] for r in with_doc_ids(df).select("doc_id").distinct().collect()]
+    deleted = delete_docs(spark, index_dir, ids)
+    out = append_batch(spark, df, index_dir)
+    out["tombstoned"] = deleted
+    return out

@@ -83,7 +83,7 @@ def test_checkpoint_metrics_lineage(spark, tmp_path):
           select distinct doc_ord, term from (
             select doc_ord, unnest(regexp_extract_all(lower(text),
                    '[\\p{{L}}\\p{{N}}]+')) as term
-            from parquet_scan('{r.version_dir}/doc_stats/*.parquet')
+            from parquet_scan('{r.version_dir}/doc_stats/*/*.parquet')
           )
         )
         """
