@@ -273,6 +273,22 @@ def _rel_set_union(spark, sf_dir):
     return a.union(b).distinct()
 
 
+def _rel_date_widening(spark, sf_dir):
+    """§2.9 date normalization: regex-dispatched granularity widening
+    (StacCollectionMapperService.java:169-226) — month strings widened to
+    range edges."""
+    from es_indexer_spark.functions import scalar
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM").alias("ym")
+    )
+    return ev.select(
+        "event_id",
+        scalar.normalize_date("ym", end=False, tz="UTC").alias("range_start"),
+        scalar.normalize_date("ym", end=True, tz="UTC").alias("range_end"),
+    )
+
+
 def _rel_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped wide aggregation (the classic partial-agg shape)."""
     return (
@@ -404,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_distinct": _rel_distinct,
         "rel_set_union": _rel_set_union,
         "rel_lineitem_pricing": _rel_lineitem_pricing,
+        "rel_date_widening": _rel_date_widening,
         # training-pipeline ops
         "tp_token_counts": _tp_token_counts,
         "tp_language_id": _tp_language_id,
@@ -497,6 +514,14 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             where l_shipdate <= timestamp '1998-09-02'
             group by 1, 2
+        """,
+        "rel_date_widening": """
+            select event_id,
+                   strptime(strftime(ts, '%Y-%m') || '-01 00:00:00',
+                            '%Y-%m-%d %H:%M:%S') as range_start,
+                   last_day(strptime(strftime(ts, '%Y-%m') || '-01', '%Y-%m-%d'))
+                     + interval '23 hours 59 minutes 59 seconds' as range_end
+            from events
         """,
         "tp_token_counts": textstats.sql_token_counts(),
         "tp_language_id": textstats.sql_language_id(),
