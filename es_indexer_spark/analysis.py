@@ -165,7 +165,9 @@ def doc_length_udf(texts: pd.Series) -> pd.Series:
 # --------------------------------------------------------------------------
 
 
-def term_freqs_batch(texts: pd.Series, with_positions: bool = False) -> pd.DataFrame:
+def term_freqs_batch(
+    texts: pd.Series, with_positions: bool = False, analyzer: str = "index"
+) -> pd.DataFrame:
     """Per-document term frequencies, vectorized over a batch of texts.
 
     Computes tf inside the Arrow batch so the Spark shuffle carries one row
@@ -175,7 +177,9 @@ def term_freqs_batch(texts: pd.Series, with_positions: bool = False) -> pd.DataF
     Returns a DataFrame with columns (row <int64 local row index>,
     term, tf <int32>, dl <int32>[, positions list[int32]]).
     """
-    tok_lists = tokenize_series(texts)
+    tok_lists = (
+        tokenize_series(texts) if analyzer == "index" else suggest_tokens_series(texts)
+    )
     lens = tok_lists.map(len).to_numpy(dtype=np.int64)
     if lens.sum() == 0:
         cols = {"row": [], "term": [], "tf": [], "dl": []}

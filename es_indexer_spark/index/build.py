@@ -212,7 +212,8 @@ def encode_grouped(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFr
 
 
 def _tokenize_grouped(
-    docs: DataFrame, n_docs: int, n_segments: int, n_buckets: int, with_positions: bool
+    docs: DataFrame, n_docs: int, n_segments: int, n_buckets: int,
+    with_positions: bool, analyzer: str = "index",
 ) -> DataFrame:
     """doc_stats slice → grouped (term, seg) posting-run rows (map-side
     combine: one row per term per Arrow batch, array columns)."""
@@ -220,7 +221,8 @@ def _tokenize_grouped(
 
     def gen(batches):
         for pdf in batches:
-            g = term_freqs_batch(pdf["text"], with_positions=with_positions)
+            g = term_freqs_batch(pdf["text"], with_positions=with_positions,
+                                 analyzer=analyzer)
             if len(g) == 0:
                 continue
             ords = pdf["doc_ord"].to_numpy(np.int64)[g["row"].to_numpy(np.int64)]
@@ -290,6 +292,7 @@ def build_index(
     resume: bool = True,
     publish: bool = True,
     input_sorted: bool = False,
+    analyzer: str = "index",
 ) -> BuildResult:
     """Build (or resume) an index version over a transcript DataFrame
     (conv_id, turn_idx, role, text, tool, ts) and atomically publish it.
@@ -312,7 +315,7 @@ def build_index(
         "n_batches": n_batches,
         "with_positions": with_positions,
         "n_docs": n_docs,
-        "analyzer": "standard_lowercase_v1",
+        "analyzer": analyzer,
     }
 
     vdir = catalog.unpublished_version_dir(index_dir, params) if resume else None
@@ -327,13 +330,21 @@ def build_index(
     sc = spark.sparkContext
     n_parts = max(sc.defaultParallelism, min(n_segments, 1024))
     if not (resume and os.path.exists(ds_ckpt)):
-        from ..analysis import doc_length_udf
+        from ..analysis import suggest_tokens_series, tokenize_series
 
+        def _dl(texts):
+            lists = (
+                tokenize_series(texts) if analyzer == "index"
+                else suggest_tokens_series(texts)
+            )
+            return lists.map(len).astype("int32")
+
+        dl_udf = F.pandas_udf(_dl, T.IntegerType())
         t0 = time.time()
         (
             # assign_doc_ordinals already range-partitioned and sorted by
             # the ordinal order — no extra shuffle here, just the dl pass
-            docs.withColumn("dl", doc_length_udf("text"))
+            docs.withColumn("dl", dl_udf("text"))
             .withColumn(
                 "seg",
                 F.least(
@@ -392,7 +403,9 @@ def build_index(
         slice_df = doc_stats.filter(
             (F.col("doc_ord") >= lo) & (F.col("doc_ord") < hi)
         )
-        grouped = _tokenize_grouped(slice_df, n_docs, n_segments, n_buckets, with_positions)
+        grouped = _tokenize_grouped(
+            slice_df, n_docs, n_segments, n_buckets, with_positions, analyzer
+        )
         enc = (
             grouped.repartition(n_parts, "tbucket", "seg")
             .sortWithinPartitions("term", "seg", "min_doc")

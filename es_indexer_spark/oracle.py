@@ -27,11 +27,18 @@ class CorpusOracle:
     """Holds a fully materialized small corpus (tests / sf<=0.1) and
     answers top-k queries by brute force."""
 
-    def __init__(self, pdf: pd.DataFrame, text_col: str = "text"):
+    def __init__(self, pdf: pd.DataFrame, text_col: str = "text",
+                 analyzer: str = "index"):
         """pdf must be sorted by doc_ord and contain doc_ord, doc_id,
         text (+ optional role/tool for boosts)."""
+        from .analysis import suggest_tokens_series
+
         self.pdf = pdf.reset_index(drop=True)
-        toks = tokenize_series(pdf[text_col])
+        toks = (
+            tokenize_series(pdf[text_col])
+            if analyzer == "index"
+            else suggest_tokens_series(pdf[text_col])
+        )
         self.tokens = toks
         self.dl = toks.map(len).to_numpy(np.float64)
         self.n_docs = len(pdf)
@@ -69,6 +76,7 @@ class CorpusOracle:
         role_boosts: dict[str, float] | None = None,
         tool_boosts: dict[str, float] | None = None,
         mode: str = "or",
+        term_boosts: dict[str, float] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Score every matching doc. Terms are summed in sorted order
         (fixed float summation order — rank-identity requirement).
@@ -76,11 +84,12 @@ class CorpusOracle:
         scores = np.zeros(self.n_docs, dtype=np.float64)
         nmatch = np.zeros(self.n_docs, dtype=np.int64)
         uniq = sorted(set(terms))
+        term_boosts = term_boosts or {}
         for t in uniq:
             dft = self.df.get(t, 0)
             if dft == 0:
                 continue
-            w = bm25.idf(dft, self.n_docs)
+            w = bm25.idf(dft, self.n_docs) * term_boosts.get(t, 1.0)
             tf = np.array([m.get(t, 0) for m in self.tf_maps], dtype=np.float64)
             has = tf > 0
             scores[has] += w * bm25.tf_norm(tf[has], self.dl[has], self.avgdl)
@@ -104,8 +113,9 @@ class CorpusOracle:
         role_boosts: dict[str, float] | None = None,
         tool_boosts: dict[str, float] | None = None,
         mode: str = "or",
+        term_boosts: dict[str, float] | None = None,
     ) -> pd.DataFrame:
-        ords, scores = self.score_all(terms, role_boosts, tool_boosts, mode)
+        ords, scores = self.score_all(terms, role_boosts, tool_boosts, mode, term_boosts)
         top_ords, top_scores = bm25.topk_desc(scores, ords, k)
         idx = np.searchsorted(self.doc_ords, top_ords)
         out = self.pdf.iloc[idx][["doc_ord", "doc_id"]].copy()
@@ -126,8 +136,8 @@ class CorpusOracle:
         return np.array(hits, dtype=np.int64)
 
 
-def oracle_from_spark(df, text_col: str = "text") -> CorpusOracle:
+def oracle_from_spark(df, text_col: str = "text", analyzer: str = "index") -> CorpusOracle:
     """Collect a (small) Spark transcript DataFrame with doc_ord/doc_id
     into a driver-side oracle."""
     cols = [c for c in ("doc_ord", "doc_id", "role", "tool", text_col) if c in df.columns]
-    return CorpusOracle(df.select(*cols).orderBy("doc_ord").toPandas(), text_col)
+    return CorpusOracle(df.select(*cols).orderBy("doc_ord").toPandas(), text_col, analyzer)

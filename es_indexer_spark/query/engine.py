@@ -128,13 +128,22 @@ class IndexSearcher:
             )
         return self._term_dict
 
-    def _views(self, terms: list[str], pdf: pd.DataFrame | None = None) -> list[scoring.TermView]:
+    def _views(
+        self,
+        terms: list[str],
+        pdf: pd.DataFrame | None = None,
+        term_boosts: dict[str, float] | None = None,
+    ) -> list[scoring.TermView]:
         pdf = self._postings_pdf(terms) if pdf is None else pdf
+        tb = term_boosts or {}
         views = []
         for t in sorted(set(terms)):
             chunks = pdf[pdf["term"] == t]
             views.append(
-                scoring.TermView(t, chunks, int(chunks["df_chunk"].sum()), self.n_docs)
+                scoring.TermView(
+                    t, chunks, int(chunks["df_chunk"].sum()), self.n_docs,
+                    boost=tb.get(t, 1.0),
+                )
             )
         return views
 
@@ -181,12 +190,15 @@ class IndexSearcher:
         strategy: str = "blockmax",
         role_boosts: dict[str, float] | None = None,
         tool_boosts: dict[str, float] | None = None,
+        term_boosts: dict[str, float] | None = None,
         expand_synonyms: bool = False,
     ) -> pd.DataFrame:
         """Driver-path top-k BM25. Returns (doc_ord, doc_id, conv_id,
-        turn_idx, role, score) sorted (score desc, doc_ord asc)."""
+        turn_idx, role, score) sorted (score desc, doc_ord asc).
+        ``term_boosts`` carries ES ^boost weights (e.g. per-field /
+        per-expansion-group multipliers) folded into each term's idf."""
         terms = self.analyze_query(query, expand_synonyms)
-        views = self._views(terms)
+        views = self._views(terms, term_boosts=term_boosts)
         nm = self._load_norms()
         boost_of, max_boost = self._boost_arrays(role_boosts, tool_boosts)
         kern = scoring.blockmax_topk if strategy == "blockmax" else scoring.exhaustive_topk
@@ -296,18 +308,36 @@ class IndexSearcher:
         *,
         fuzzy: bool = True,
         role_boosts: dict[str, float] | None = None,
+        boosts: tuple[float, float, float] = (10.0, 5.0, 2.0),
     ) -> pd.DataFrame:
         """Search-as-you-type: ``multi_match bool_prefix`` analogue
         (IndexerServiceIT.java:219-238) — all tokens but the last as terms
-        (fuzzy-expanded when enabled), the last as a prefix OR-group."""
+        (fuzzy-expanded when enabled), the last as a prefix OR-group.
+
+        On a suggest-analyzed index (built with ``analyzer="suggest"``,
+        i.e. the shingle chain — the search_suggestions field) the prefix
+        expansion also matches multi-word shingles, and expansions carry
+        the reference's per-field boosts: base^10, _2gram^5, _3gram^2
+        (word count of the matched dictionary entry picks the tier)."""
         toks = tokenize_py(query)
         if not toks:
             return self._materialize(np.zeros(0, np.int64), np.zeros(0, np.float64))
         terms: list[str] = []
         for t in toks[:-1]:
             terms.extend(self.expand_fuzzy(t) if fuzzy else [t])
-        terms.extend(self.expand_prefix(toks[-1]) or [toks[-1]])
-        return self.search(list(dict.fromkeys(terms)), k, role_boosts=role_boosts)
+        expansions = self.expand_prefix(toks[-1]) or [toks[-1]]
+        terms.extend(expansions)
+        term_boosts = None
+        if self.manifest.get("analyzer") == "suggest":
+            b1, b2, b3 = boosts
+            term_boosts = {
+                t: (b1 if t.count(" ") == 0 else b2 if t.count(" ") == 1 else b3)
+                for t in terms
+            }
+        return self.search(
+            list(dict.fromkeys(terms)), k,
+            role_boosts=role_boosts, term_boosts=term_boosts,
+        )
 
     # ------------------------------------------------------ scan/point ops
     def doc_stats_df(self) -> DataFrame:

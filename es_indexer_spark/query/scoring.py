@@ -39,10 +39,15 @@ class TermView:
     skew-split re-assembled by ordered concatenation).
     """
 
-    def __init__(self, term: str, chunks: pd.DataFrame, df: int, n_docs: int):
+    def __init__(self, term: str, chunks: pd.DataFrame, df: int, n_docs: int,
+                 boost: float = 1.0):
         self.term = term
         self.df = int(df)
-        self.idf = float(bm25.idf(self.df, n_docs))
+        self.boost = float(boost)
+        # query-time term boost folds into the idf weight (ES ^boost
+        # semantics: score contribution = boost * idf * tfn), so block
+        # ceilings built from self.idf stay valid boost-inclusive
+        self.idf = float(bm25.idf(self.df, n_docs)) * self.boost
         self.chunks = chunks.reset_index(drop=True)
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.chunk_min = chunks["min_doc"].to_numpy(np.int64)
