@@ -390,6 +390,14 @@ def _tp_ann_topk(spark, sf_dir):
     )
 
 
+def _tp_ivf_topk(spark, sf_dir):
+    from es_indexer_spark.ops import similarity
+
+    return similarity.ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -432,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_simhash_pairs": _tp_simhash_pairs,  # rows-only (hash blocking)
         "tp_cosine_topk": _tp_cosine_topk,
         "tp_ann_topk": _tp_ann_topk,  # rows-only (approximate)
+        "tp_ivf_topk": _tp_ivf_topk,  # rows-only (approximate)
     }
 
 

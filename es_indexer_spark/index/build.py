@@ -293,6 +293,7 @@ def build_index(
     publish: bool = True,
     input_sorted: bool = False,
     analyzer: str = "index",
+    validate_source: bool = False,
 ) -> BuildResult:
     """Build (or resume) an index version over a transcript DataFrame
     (conv_id, turn_idx, role, text, tool, ts) and atomically publish it.
@@ -478,17 +479,35 @@ def build_index(
         catalog.write_json(ts_ckpt, {"n_terms": n_terms})
 
     # ---- manifest + atomic publish ----------------------------------------
+    postings_total = bytes_total = 0
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("batch_"):
+            ck = catalog.read_json(os.path.join(ckpt_dir, name))
+            postings_total += ck["postings_emitted"]
+            bytes_total += ck["bytes_compressed"]
     manifest = dict(params)
     manifest.update(
         {
             "avgdl": ds_meta["avgdl"],
             "total_tokens": ds_meta["total_tokens"],
             "n_terms": catalog.read_json(ts_ckpt)["n_terms"],
+            "postings": postings_total,
+            "bytes_compressed": bytes_total,
+            # raw = 8B doc ordinal + 4B tf per posting, the uncompressed
+            # columnar equivalent the delta+varint codec replaces
+            "compression_ratio": round(12.0 * postings_total / max(1, bytes_total), 3),
             "k1": 1.2,
             "b": 0.75,
         }
     )
     catalog.write_json(os.path.join(vdir, "manifest.json"), manifest)
+    if validate_source:
+        # per-turn text-equality gate before the alias swap (100 %;
+        # reference accepts >=90 % — IndexerMetadataServiceImpl.java:651-655)
+        from .validate import validate_against_source
+
+        manifest["validation"] = validate_against_source(spark, df, vdir)
+        catalog.write_json(os.path.join(vdir, "manifest.json"), manifest)
     if publish:
         catalog.publish_version(index_dir, vdir)
     result.metrics = manifest

@@ -153,6 +153,79 @@ def query_probes(
     return out
 
 
+# ------------------------------------------------------------------ IVF ANN
+
+def train_ivf_centroids(
+    df: DataFrame, n_centroids: int = 16, iters: int = 8, seed: int = 11,
+    sample: int = 4096, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded k-means (Lloyd, numpy) on a deterministic sample — the
+    coarse quantizer of an IVF index. On a real deployment this trains
+    once offline; assignment is the distributed step."""
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id): nearest-centroid assignment, Arrow-vectorized. On a
+    real deployment the table is written partitioned by list_id, making
+    each probe a partition-pruned scan."""
+    C = centroids
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", df.schema[id_col].dataType),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "list_id": (M @ C.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
+def ivf_ann_topk(
+    df: DataFrame, query_vec, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+    seed: int = 11, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate NN: exact cosine re-rank restricted to the nprobe
+    inverted lists nearest the query."""
+    C = centroids if centroids is not None else train_ivf_centroids(
+        df, n_centroids, seed=seed, vec_col=vec_col
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in np.argsort(-(C @ q))[:nprobe]]
+    assign = ivf_assign(df, C, id_col, vec_col)
+    cand_ids = assign.filter(F.col("list_id").isin(probes)).select(
+        F.col("vec_id").alias("_cand_id")
+    )
+    cand = df.join(cand_ids, df[id_col] == F.col("_cand_id"), "left_semi")
+    return cosine_topk_arrow(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     df: DataFrame, query_vec, k: int = 10, n_tables: int = 8, n_planes: int = 8,
     seed: int = 7, multiprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -170,3 +170,27 @@ def test_multimodal_plumbing(spark):
     assert (frames["frame_idx"] % 8 == 0).all()
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(media)
+
+
+def test_ivf_ann_recall_on_clustered_vectors(spark):
+    rng = np.random.RandomState(4)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers[np.arange(500) % 10] + rng.normal(scale=0.08, size=(500, 64))
+    pdf = [(int(i), [float(x) for x in vecs[i]]) for i in range(500)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    qv = vecs[13]
+    exact = similarity.cosine_topk_arrow(df, qv, k=10).toPandas()
+    ann = similarity.ivf_ann_topk(df, qv, k=10, n_centroids=12, nprobe=3).toPandas()
+    overlap = len(set(exact["vec_id"]) & set(ann["vec_id"]))
+    assert overlap >= 9  # with clear clusters, IVF probes the right lists
+    # probing is a real subset: candidate lists cover < half the corpus
+    C = similarity.train_ivf_centroids(df, 12)
+    assign = similarity.ivf_assign(df, C).toPandas()
+    assert assign["list_id"].nunique() >= 8
+
+
+def test_ivf_assignment_deterministic(spark, emb):
+    C1 = similarity.train_ivf_centroids(emb, 8)
+    C2 = similarity.train_ivf_centroids(emb, 8)
+    np.testing.assert_array_equal(C1, C2)

@@ -6,6 +6,8 @@ per-partition checkpoints, and end with an index identical to a clean build."""
 from __future__ import annotations
 
 import os
+
+import pytest
 import shutil
 
 from es_indexer_spark.corpus import synth_transcripts
@@ -89,3 +91,19 @@ def test_checkpoint_metrics_lineage(spark, tmp_path):
         """
     ).fetchone()[0]
     assert total_postings == flat
+
+
+def test_validation_gate(spark, tmp_path):
+    from es_indexer_spark.index.validate import ValidationError, validate_against_source
+
+    idx = str(tmp_path / "idx")
+    src = _corpus(spark)
+    r = build_index(spark, src, idx, n_buckets=8, n_segments=2, validate_source=True)
+    assert r.metrics["validation"]["text_equality"] is True
+    assert r.metrics["validation"]["source_rows"] == r.n_docs
+    assert r.metrics["compression_ratio"] > 1.5  # delta+varint beats raw 12B
+    # a diverged source must fail the gate
+    with pytest.raises(ValidationError):
+        validate_against_source(
+            spark, src.limit(10), r.version_dir
+        )
