@@ -53,6 +53,35 @@ _POSTING_COLS = [
 _POS_COL = "pos_bytes"  # present only when the index was built with positions
 
 
+def levenshtein_within(q: str, cands: np.ndarray, dmax: int) -> np.ndarray:
+    """Vectorized Levenshtein <= dmax for MANY candidates at once: the DP
+    advances one query character per iteration with all candidates and all
+    positions as numpy lanes; the insertion recurrence cur[j] =
+    min(cur[j], cur[j-1]+1) is the classic running-min-of-(cur - j) scan,
+    so nothing is per-candidate Python."""
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    lens = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    M = np.zeros((n, maxlen), dtype=np.uint32)
+    for i, c in enumerate(cands):  # one-time packing, not the DP loop
+        M[i, : len(c)] = np.frombuffer(c.encode("utf-32-le"), dtype=np.uint32)
+    qa = np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
+    j_idx = np.arange(maxlen + 1, dtype=np.int32)
+    prev = np.broadcast_to(j_idx, (n, maxlen + 1)).astype(np.int32).copy()
+    for i in range(1, len(qa) + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (M != qa[i - 1])
+        cur[:, 1:] = np.minimum(prev[:, 1:] + 1, sub)
+        # propagate insertions left-to-right in one accumulate
+        t = np.minimum.accumulate(cur - j_idx, axis=1)
+        cur = t + j_idx
+        prev = cur
+    return prev[np.arange(n), lens] <= dmax
+
+
 def auto_fuzziness(term: str) -> int:
     """ES ``fuzziness: AUTO`` (exercised at IndexerServiceIT.java:228):
     edit distance 0 for <3 chars, 1 for 3-5, 2 for >=6."""
@@ -272,33 +301,8 @@ class IndexSearcher:
             return [term] if (td["term"] == term).any() else []
         lens = td["term"].str.len()
         cand = td[(lens >= len(term) - d) & (lens <= len(term) + d)]
-
-        def within(a: str, b: str, dmax: int) -> bool:
-            if a == b:
-                return True
-            # banded Levenshtein with early exit
-            la, lb = len(a), len(b)
-            if abs(la - lb) > dmax:
-                return False
-            prev = list(range(lb + 1))
-            for i in range(1, la + 1):
-                cur = [i] + [0] * lb
-                lo = max(1, i - dmax)
-                hi = min(lb, i + dmax)
-                if lo > 1:
-                    cur[lo - 1] = dmax + 1
-                for j in range(lo, hi + 1):
-                    cur[j] = min(
-                        prev[j] + 1,
-                        cur[j - 1] + 1,
-                        prev[j - 1] + (a[i - 1] != b[j - 1]),
-                    )
-                if min(cur[lo : hi + 1]) > dmax:
-                    return False
-                prev = cur
-            return prev[lb] <= dmax
-
-        hits = cand[cand["term"].map(lambda t: within(term, t, d))]
+        ok = levenshtein_within(term, cand["term"].to_numpy(object), d)
+        hits = cand[ok]
         return hits.nlargest(max_expansions, "df")["term"].tolist()
 
     def suggest(
