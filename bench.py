@@ -100,6 +100,7 @@ def main() -> None:
         "n_turns": res.n_docs,
         "turns_per_sec": round(turns_per_sec, 1),
         "index_tokens": res.total_tokens,
+        "compression_ratio": res.metrics.get("compression_ratio"),
         "cores": cores,
     }
 
@@ -127,6 +128,22 @@ def main() -> None:
         t0 = time.time()
         searcher.search_df(["spark", "merge", "join"], k=10).collect()
         queries["q_distributed_topk"] = round(time.time() - t0, 3)
+
+        # ---- 3b. suggestion-field index + SAYT -----------------------------
+        docs_tx_small = docs_tx.limit(20000)
+        sugg_dir = tempfile.mkdtemp(prefix="bench_sugg_")
+        t0 = time.time()
+        build_index(spark, docs_tx_small, sugg_dir, n_buckets=32, analyzer="suggest")
+        queries["suggest_index_build"] = round(time.time() - t0, 3)
+        sayt = IndexSearcher(spark, sugg_dir)
+        sayt.term_dictionary()
+        sayt.search(["the"], k=1)
+        lats = []
+        for _ in range(10):
+            t0 = time.time()
+            sayt.suggest("merge jo", k=10, fuzzy=False)
+            lats.append(time.time() - t0)
+        queries["q_sayt_suggest"] = round(float(np.median(lats)), 4)
 
         # ---- 4. pipeline ops ----------------------------------------------
         from es_indexer_spark.ops import dedup, similarity

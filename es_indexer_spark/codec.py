@@ -16,6 +16,13 @@ implies an inverted index with compressed postings + skip data). We encode:
 
 Encode/decode are segment-aware: a whole shard's postings (all terms) are
 encoded in ONE vectorized pass and sliced per term by byte offsets.
+
+Format lineage (public literature): delta gaps + variable-byte coding as
+in Scholer et al. "Compression of inverted indexes for fast query
+evaluation" (SIGIR 2002); the per-block layout and skip/ceiling metadata
+follow Lucene's postings format and Ding & Suel's block-max indexes
+(SIGIR 2011); FOR/PForDelta bit-packing (Zukowski et al., ICDE 2006) is
+the documented upgrade path if varint becomes the bottleneck.
 """
 
 from __future__ import annotations

@@ -21,6 +21,16 @@ The reference delegates all of this to Lucene's WAND/impacts
 (``portal_records_index_schema.json`` text fields; scored queries like
 ``IndexerServiceIT.java:219-238``); we rebuild it because Spark has no
 inverted-index primitive.
+
+Public literature the design follows: Broder et al., "Efficient query
+evaluation using a two-level retrieval process" (CIKM 2003, WAND);
+Ding & Suel, "Faster top-k document retrieval using block-max indexes"
+(SIGIR 2011, BMW — our block metadata is exactly their per-block maxima,
+impact-ordered as avgdl-free (max_tf, min_dl) pairs like Lucene's
+competitive impacts); the vectorized interval sweep follows the
+columnar/vectorized-inverted-index direction of ICDE 2025's "Columnar
+Formatted Inverted Index" (PAPERS.md) rather than a pointer-walking DAAT
+loop, because numpy rewards batch-at-a-time work.
 """
 
 from __future__ import annotations
