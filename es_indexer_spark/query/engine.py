@@ -109,6 +109,7 @@ class IndexSearcher:
         )
         self._norms: dict | None = None
         self._term_dict: pd.DataFrame | None = None
+        self._chunk_cache: dict[str, pd.DataFrame] = {}
         self.synonyms = SynonymSet()
         from ..streaming.incremental import load_tombstones
 
@@ -121,12 +122,36 @@ class IndexSearcher:
             cols.append(_POS_COL)
         return cols
 
+    _CACHE_MAX_TERMS = 4096
+
     def _postings_pdf(self, terms: list[str]) -> pd.DataFrame:
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        filt = pc.field("tbucket").isin(buckets) & pc.field("term").isin(terms)
-        tbl = self._postings_ds.to_table(columns=self._posting_cols(), filter=filt)
-        pdf = tbl.to_pandas()
-        return pdf.sort_values(["term", "seg", "min_doc"]).reset_index(drop=True)
+        """Posting chunks for the terms, via a per-term LRU cache (the
+        posting-list cache every IR engine keeps hot — repeated/hot query
+        terms skip the parquet read entirely). Misses are fetched in one
+        pruned pyarrow scan."""
+        uniq = list(dict.fromkeys(terms))
+        missing = [t for t in uniq if t not in self._chunk_cache]
+        if missing:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            filt = pc.field("tbucket").isin(buckets) & pc.field("term").isin(missing)
+            pdf = self._postings_ds.to_table(
+                columns=self._posting_cols(), filter=filt
+            ).to_pandas()
+            pdf = pdf.sort_values(["term", "seg", "min_doc"]).reset_index(drop=True)
+            grouped = {t: g for t, g in pdf.groupby("term", sort=False)}
+            for t in missing:
+                self._chunk_cache[t] = grouped.get(t, pdf.iloc[0:0])
+            while len(self._chunk_cache) > self._CACHE_MAX_TERMS:
+                self._chunk_cache.pop(next(iter(self._chunk_cache)))
+        parts = []
+        for t in uniq:
+            got = self._chunk_cache.pop(t)  # re-insert → LRU recency order
+            self._chunk_cache[t] = got
+            if len(got):
+                parts.append(got)
+        if not parts:
+            return next(iter(self._chunk_cache.values())).iloc[0:0] if self._chunk_cache else pd.DataFrame()
+        return pd.concat(parts, ignore_index=True)
 
     def _load_norms(self) -> dict:
         """Dense doc_ord-indexed arrays (dl, role, tool, conv_id, turn_idx).
