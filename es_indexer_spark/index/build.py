@@ -362,23 +362,21 @@ def build_index(
             .write.mode("overwrite")
             .parquet(os.path.join(doc_stats_path, "batch=0"))
         )
-        stats = (
-            spark.read.parquet(doc_stats_path)
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("dl").alias("total_tokens"),
-                F.avg("dl").alias("avgdl"),
-            )
-            .collect()[0]
+        import pyarrow.dataset as _pads
+
+        dl_tbl = _pads.dataset(doc_stats_path, partitioning="hive").to_table(
+            columns=["dl"]
         )
-        if stats["n"] != n_docs:  # 100% gate (reference uses >=90%)
-            raise RuntimeError(f"doc_stats rows {stats['n']} != source rows {n_docs}")
+        n_written = dl_tbl.num_rows
+        if n_written != n_docs:  # 100% gate (reference uses >=90%)
+            raise RuntimeError(f"doc_stats rows {n_written} != source rows {n_docs}")
+        total_tokens = int(pd.Series(dl_tbl["dl"].to_numpy(zero_copy_only=False)).sum())
         catalog.write_json(
             ds_ckpt,
             {
                 "n_docs": n_docs,
-                "total_tokens": int(stats["total_tokens"] or 0),
-                "avgdl": float(stats["avgdl"] or 0.0),
+                "total_tokens": total_tokens,
+                "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
                 "wall_s": round(time.time() - t0, 3),
             },
         )
@@ -418,25 +416,35 @@ def build_index(
         batch_path = os.path.join(postings_root, f"batch={b}")
         enc.write.mode("overwrite").partitionBy("tbucket").parquet(batch_path)
 
-        # lineage + metrics per segment, from the data actually written
-        written = spark.read.parquet(batch_path)
-        seg_rows = (
-            written.groupBy("seg")
-            .agg(
-                F.count("*").alias("chunks"),
-                F.sum("df_chunk").alias("postings"),
-                F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-            )
-            .collect()
+        # lineage + metrics per segment, from the data actually written —
+        # a driver-side pyarrow pass over the batch (columnar, no Spark job)
+        import pyarrow.dataset as _pads
+
+        wt = _pads.dataset(batch_path, partitioning="hive").to_table(
+            columns=["seg", "df_chunk", "doc_bytes", "tf_bytes"]
+        )
+        wpdf = pd.DataFrame(
+            {
+                "seg": wt["seg"].to_numpy(zero_copy_only=False),
+                "postings": wt["df_chunk"].to_numpy(zero_copy_only=False),
+                "bytes": (
+                    pd.Series(wt["doc_bytes"].to_pandas()).str.len()
+                    + pd.Series(wt["tf_bytes"].to_pandas()).str.len()
+                ),
+            }
+        )
+        agg = wpdf.groupby("seg").agg(
+            chunks=("postings", "size"), postings=("postings", "sum"),
+            bytes=("bytes", "sum"),
         )
         turns = hi - lo  # ordinals are dense, so the slice size is exact
         segs = {
-            str(r["seg"]): {
-                "chunks": r["chunks"],
-                "postings": int(r["postings"]),
-                "bytes_compressed": int(r["bytes"]),
+            str(int(seg)): {
+                "chunks": int(row["chunks"]),
+                "postings": int(row["postings"]),
+                "bytes_compressed": int(row["bytes"]),
             }
-            for r in seg_rows
+            for seg, row in agg.iterrows()
         }
         catalog.write_json(
             bk,
@@ -475,7 +483,9 @@ def build_index(
             .write.mode("overwrite")
             .parquet(term_stats_path)
         )
-        n_terms = spark.read.parquet(term_stats_path).count()
+        import pyarrow.dataset as _pads
+
+        n_terms = _pads.dataset(term_stats_path).count_rows()
         catalog.write_json(ts_ckpt, {"n_terms": n_terms})
 
     # ---- manifest + atomic publish ----------------------------------------
