@@ -77,3 +77,60 @@ def test_positions_roundtrip():
     back = decode_positions(buf, 3)
     for a, b in zip(per_doc, back):
         assert np.array_equal(np.asarray(a), b)
+
+
+# ---- property-based round-trips (hypothesis) --------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+def test_varint_roundtrip_property(values):
+    arr = np.asarray(values, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr)) == arr).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+    st.data(),
+)
+def test_segmented_delta_roundtrip_property(values, data):
+    docs = np.unique(np.asarray(values, dtype=np.int64))
+    n = len(docs)
+    n_segs = data.draw(st.integers(min_value=1, max_value=max(1, n)))
+    starts = np.sort(
+        np.asarray(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=1, max_value=max(1, n - 1)),
+                    max_size=n_segs, unique=True,
+                )
+            ),
+            dtype=np.int64,
+        )
+    )
+    seg_starts = np.concatenate(([0], starts)) if n > 1 else np.array([0])
+    gaps = delta_encode_segmented(docs, seg_starts)
+    bounds = np.append(seg_starts, n)
+    out = np.concatenate(
+        [delta_decode(gaps[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
+    )
+    assert (out == docs).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10000), min_size=1, max_size=30),
+        min_size=1, max_size=40,
+    )
+)
+def test_positions_roundtrip_property(plists):
+    per_doc = [np.unique(np.asarray(p, dtype=np.int64)) for p in plists]
+    buf = encode_positions(per_doc)
+    out = decode_positions(buf, len(per_doc))
+    for a, b in zip(out, per_doc):
+        assert (a == b).all()

@@ -136,3 +136,15 @@ def test_per_turn_text_equality(built, spark):
     idx = searcher.doc_stats_df().select("conv_id", "turn_idx", "text")
     diff = src.exceptAll(idx).count() + idx.exceptAll(src).count()
     assert diff == 0
+
+
+def test_hot_term_skew_split_across_segments(built):
+    """North-rule skew mitigation: a stop-word-like term's postings must be
+    split across segments (the doc-range salt), and chunks must tile the
+    doc space disjointly in order."""
+    _, oracle, searcher = built
+    pdf = searcher._postings_pdf(["the"]).sort_values(["seg", "min_doc"])
+    assert pdf["seg"].nunique() > 1  # hot term spread over multiple segments
+    assert int(pdf["df_chunk"].sum()) == oracle.df["the"]
+    # disjoint ordered ranges: every chunk starts after the previous ends
+    assert (pdf["min_doc"].to_numpy()[1:] > pdf["max_doc"].to_numpy()[:-1]).all()
