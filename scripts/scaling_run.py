@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -28,11 +29,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_level(cores: int, n_convs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SCALING_CONVS"] = str(n_convs)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--build-only",
-         "--cores", str(cores), "--sf-dir", "/root/testdata/sf0.001"],
-        capture_output=True, text=True, env=env, cwd=REPO, check=True,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--build-only",
+           "--cores", str(cores), "--sf-dir", "/root/testdata/sf0.001"]
+    # pin the process tree to `cores` CPUs so the N-core level cannot
+    # borrow the other 3N cores for GC/IO/numpy threads — an honest
+    # emulation of an N-core executor group
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=REPO, check=True)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -70,7 +75,9 @@ executors. No real cluster exists in this sandbox, so the same job runs
 at two parallelism levels on identical input (seeded synthetic corpus is
 parallelism-invariant): `local[{lo_c}]` vs `local[{hi_c}]`, own JVM each,
 best of {args.reps} runs per level (single-box results swing ±30% with
-page-cache/JIT warmth).
+page-cache/JIT warmth). Each level is CPU-pinned with `taskset` to exactly
+its core budget, so the N-core level cannot borrow idle cores for
+GC/IO/numpy threads.
 
 | level | turns indexed | build wall (s) | turns/sec |
 |---|---|---|---|
