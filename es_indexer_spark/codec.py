@@ -109,6 +109,20 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(deltas.astype(np.int64)).astype(np.int64)
 
 
+def delta_decode_multi(deltas: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Inverse of per-segment delta encode for MANY concatenated runs at
+    once (each run's first value absolute). Vectorized: within run r the
+    value is cumsum(deltas)[i] - cumsum(deltas)[start_r - 1]."""
+    d = deltas.astype(np.int64)
+    if len(d) == 0:
+        return d
+    cs = np.cumsum(d)
+    base = np.zeros(len(run_starts), dtype=np.int64)
+    base[1:] = cs[run_starts[1:] - 1]
+    run_lens = np.diff(np.append(run_starts, len(d)))
+    return cs - np.repeat(base, run_lens)
+
+
 def block_metadata(
     local_docs: np.ndarray,
     tf_norm: np.ndarray,

@@ -49,6 +49,7 @@ from . import scoring
 _POSTING_COLS = [
     "term", "seg", "min_doc", "max_doc", "df_chunk",
     "doc_bytes", "tf_bytes", "block_last", "block_max_tf", "block_min_dl",
+    "run_lens",
 ]
 _POS_COL = "pos_bytes"  # present only when the index was built with positions
 

@@ -94,7 +94,10 @@ class TermView:
         got = self._decoded.get(i)
         if got is None:
             row = self.chunks.iloc[i]
-            docs = codec.delta_decode(codec.varint_decode(row["doc_bytes"]))
+            gaps = codec.varint_decode(row["doc_bytes"])
+            run_lens = np.asarray(row["run_lens"], dtype=np.int64)
+            run_starts = np.concatenate(([0], np.cumsum(run_lens)[:-1]))
+            docs = codec.delta_decode_multi(gaps, run_starts)
             tfs = codec.varint_decode(row["tf_bytes"]).astype(np.int64)
             got = (docs, tfs)
             self._decoded[i] = got

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index import catalog
-from ..index.build import _enc_schema, _tokenize_grouped, encode_grouped
+from ..index.build import _enc_schema, _tokenize_encode, merge_chunks
 
 
 def _next_batch_id(postings_root: str) -> int:
@@ -105,17 +105,17 @@ def append_batch(
     doc_slice = spark.read.parquet(ds_batch)
 
     n_total = n_before + m
-    grouped = _tokenize_grouped(
+    pre = _tokenize_encode(
         doc_slice.withColumn("doc_ord", F.col("doc_ord")),  # already offset
         n_docs=1, n_segments=1, n_buckets=n_buckets, with_positions=with_positions,
     ).withColumn("seg", F.lit(seg_id))
     enc = (
-        grouped.repartition(
+        pre.repartition(
             max(1, spark.sparkContext.defaultParallelism // 2), "tbucket"
         )
         .sortWithinPartitions("term", "seg", "min_doc")
         .mapInPandas(
-            lambda it: (encode_grouped(pdf, with_positions) for pdf in it),
+            lambda it: (merge_chunks(pdf, with_positions) for pdf in it),
             _enc_schema(with_positions),
         )
     )
