@@ -32,6 +32,15 @@ from .textstats import SQL_TOKENS, tokens_col
 _MERSENNE = (1 << 61) - 1
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Small-file inputs (one parquet file = one partition) would run every
+    Arrow kernel on a single core; spread them across the cluster first."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, want // 2):
+        return df.repartition(want)
+    return df
+
+
 def _stable_hash64(strings: np.ndarray) -> np.ndarray:
     """Stable 64-bit hash per string (md5-based — hash() is salted per
     process and would break determinism across executors)."""
@@ -139,6 +148,51 @@ where common::double / (sa.sz + sb.sz - common) >= {threshold}
 
 # ---------------------------------------------------------------- MinHash/LSH
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant
+
+
+def _ngram_hashes_flat(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc n-gram shingle HASHES (uint64), fully vectorized: tokenize,
+    md5 each UNIQUE token once, then combine n consecutive token hashes
+    numerically (position-weighted mix) — shingle strings are never built.
+    Returns (flat_hashes, doc_lens); docs with <n tokens contribute one
+    whole-doc hash (mirrors shingles_col's fallback)."""
+    from ..analysis import tokenize_series
+
+    toks = tokenize_series(texts)
+    lens = toks.map(len).to_numpy(np.int64)
+    if lens.sum() == 0:
+        return np.zeros(0, np.uint64), np.where(lens >= 0, 0, 0)
+    flat = np.concatenate([np.asarray(t, object) for t in toks])
+    codes, uniq = pd.factorize(flat, sort=False)
+    h = _stable_hash64(uniq)[codes]  # (total_tokens,) uint64
+    # combine n consecutive token hashes, rotation-weighted per position
+    comb = np.zeros(max(0, len(h) - (n - 1)), dtype=np.uint64)
+    for j in range(n):
+        hj = h[j : len(h) - (n - 1) + j]
+        comb ^= (hj << np.uint64(j * 7)) | (hj >> np.uint64(64 - j * 7)) if j else hj
+        comb *= _MIX
+    # drop windows that cross doc boundaries; short docs -> whole-doc hash
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out_parts, out_lens = [], np.empty(len(lens), np.int64)
+    for i, (s, l) in enumerate(zip(starts, lens)):
+        if l >= n:
+            out_parts.append(comb[s : s + l - (n - 1)])
+            out_lens[i] = l - (n - 1)
+        elif l > 0:
+            acc = np.uint64(0)
+            for j in range(l):
+                acc = (acc ^ h[s + j]) * _MIX
+            out_parts.append(np.array([acc], dtype=np.uint64))
+            out_lens[i] = 1
+        else:
+            out_lens[i] = 0
+    return (
+        np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint64),
+        out_lens,
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 64,
@@ -146,13 +200,17 @@ def minhash_signatures(
     seed: int = 1,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig array<long>) — MinHash over n-gram shingles, vectorized:
-    one (num_hashes x shingles) affine-hash matrix min-reduce per doc."""
+    """(id, sig array<long>) — MinHash over n-gram shingle HASHES,
+    end-to-end vectorized: tokens hashed once per distinct token, n-gram
+    hashes combined numerically (no shingle strings cross the Arrow
+    boundary), affine hash family min-reduced per doc with one reduceat.
+    MinHash only needs a hash of each shingle, and min over a multiset
+    equals min over the set, so no dedupe pass is needed either."""
     rng = np.random.RandomState(seed)
     A = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
     Bv = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
 
-    with_sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles_col(n)).alias("sh"))
+    src = _parallelize(df.select(F.col(id_col).alias("id"), F.col("text")))
     out_schema = T.StructType(
         [
             T.StructField("id", df.schema[id_col].dataType),
@@ -162,19 +220,18 @@ def minhash_signatures(
 
     def gen(batches):
         for pdf in batches:
-            ids, sigs = [], []
-            for i in range(len(pdf)):
-                sh = np.asarray(pdf["sh"].iloc[i], dtype=object)
-                if len(sh) == 0:
-                    sigs.append(np.zeros(num_hashes, np.int64))
-                else:
-                    x = _stable_hash64(sh)  # (S,)
-                    hv = (A[:, None] * x[None, :] + Bv[:, None]) % np.uint64(_MERSENNE)
-                    sigs.append(hv.min(axis=1).astype(np.int64))
-                ids.append(pdf["id"].iloc[i])
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+            flat, lens = _ngram_hashes_flat(pdf["text"], n)
+            sigs = [np.zeros(num_hashes, np.int64)] * len(pdf)
+            nonempty = lens > 0
+            if nonempty.any():
+                hv = (A[:, None] * flat[None, :] + Bv[:, None]) % np.uint64(_MERSENNE)
+                starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+                mins = np.minimum.reduceat(hv, starts, axis=1).astype(np.int64)
+                for j, i in enumerate(np.flatnonzero(nonempty)):
+                    sigs[i] = mins[:, j]
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "sig": sigs})
 
-    return with_sh.mapInPandas(gen, out_schema)
+    return src.mapInPandas(gen, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -240,7 +297,9 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("simhash", T.LongType(), False),
         ]
     )
-    toks_df = df.select(F.col(id_col).alias("id"), tokens_col("text").alias("toks"))
+    toks_df = _parallelize(
+        df.select(F.col(id_col).alias("id"), tokens_col("text").alias("toks"))
+    )
 
     def gen(batches):
         bits = np.arange(64, dtype=np.uint64)
