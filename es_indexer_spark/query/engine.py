@@ -46,6 +46,8 @@ from ..index import catalog
 from ..index.build import term_bucket
 from . import scoring
 
+codec_BLOCK = 128  # codec.BLOCK_SIZE — auto-strategy postings threshold
+
 _POSTING_COLS = [
     "term", "seg", "min_doc", "max_doc", "df_chunk",
     "doc_bytes", "tf_bytes", "block_last", "block_max_tf", "block_min_dl",
@@ -242,7 +244,7 @@ class IndexSearcher:
         k: int = 10,
         *,
         mode: str = "or",
-        strategy: str = "blockmax",
+        strategy: str = "auto",
         role_boosts: dict[str, float] | None = None,
         tool_boosts: dict[str, float] | None = None,
         term_boosts: dict[str, float] | None = None,
@@ -251,9 +253,22 @@ class IndexSearcher:
         """Driver-path top-k BM25. Returns (doc_ord, doc_id, conv_id,
         turn_idx, role, score) sorted (score desc, doc_ord asc).
         ``term_boosts`` carries ES ^boost weights (e.g. per-field /
-        per-expansion-group multipliers) folded into each term's idf."""
+        per-expansion-group multipliers) folded into each term's idf.
+
+        ``strategy="auto"`` picks block-max pruning for few-term queries
+        over long postings (where skipping pays) and exhaustive scoring
+        for many-term expansions or short postings (where the sweep's
+        bookkeeping costs more than scoring everything) — the same
+        query-shape dispatch Lucene applies to WAND. Both are exact."""
         terms = self.analyze_query(query, expand_synonyms)
         views = self._views(terms, term_boosts=term_boosts)
+        if strategy == "auto":
+            total_postings = sum(v.df for v in views)
+            strategy = (
+                "blockmax"
+                if len(views) <= 8 and total_postings > 16 * codec_BLOCK
+                else "exhaustive"
+            )
         nm = self._load_norms()
         boost_of, max_boost = self._boost_arrays(role_boosts, tool_boosts)
         kern = scoring.blockmax_topk if strategy == "blockmax" else scoring.exhaustive_topk
