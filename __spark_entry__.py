@@ -104,11 +104,13 @@ def _ft_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment-parallel cogroup scoring path (rows-only check; equality
-    with the driver path is pytest-proven)."""
+    """Segment-parallel cogroup scoring path, checked against the SAME full
+    SQL BM25 oracle as the driver path (rank identity distributed == driver
+    is additionally pytest-proven)."""
     s = _index_for(spark, sf_dir)
     return s.search_df(BM25_TERMS, k=BM25_K).select(
-        "doc_id", F.round("score", 4).alias("score")
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
     )
 
 
@@ -415,7 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_df": _ft_term_df,
         "ft_corpus_stats": _ft_corpus_stats,
         "ft_doc_lengths": _ft_doc_lengths,
-        "ft_bm25_topk_distributed": _ft_bm25_topk_distributed,  # rows-only
+        "ft_bm25_topk_distributed": _ft_bm25_topk_distributed,
         # relational operators (SURVEY §2)
         "rel_groupby_count": _rel_groupby_count,
         "rel_anti_join": _rel_anti_join,
@@ -449,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "ft_bm25_topk": _sql_bm25_topk(),
+        "ft_bm25_topk_distributed": _sql_bm25_topk(),
         "ft_term_df": f"""
             select term, count(distinct doc_id)::bigint as df,
                    count(*)::bigint as total_tf
@@ -539,8 +542,8 @@ def oracle_sql() -> dict[str, str]:
         "tp_exact_dups": dedup.sql_exact_duplicates(),
         "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5),
         "tp_cosine_topk": _sql_cosine(),
-        # rows-only (intentionally no oracle): ft_bm25_topk_distributed,
-        # tp_minhash_pairs, tp_simhash_pairs, tp_ann_topk
+        # rows-only (intentionally no oracle): tp_minhash_pairs,
+        # tp_simhash_pairs, tp_ann_topk, tp_ivf_topk
     }
 
 

@@ -114,6 +114,14 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def term_bucket_col(n_buckets: int, term_col: str = "term"):
+    """JVM-side mirror of ``term_bucket``: Spark's ``crc32`` is the same
+    CRC-32 polynomial as ``zlib.crc32`` (asserted in tests), so the bucket
+    assignment stays whole-stage-codegen'd instead of a per-row Python UDF
+    over the whole term dictionary."""
+    return (F.crc32(F.encode(F.col(term_col), "UTF-8")) % n_buckets).cast("int")
+
+
 def _encode_positions_flat(
     pos_flat: np.ndarray, counts: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -215,53 +223,6 @@ def encode_grouped(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFr
             for a, b in zip(stream_starts, stream_ends)
         ]
     return pd.DataFrame(out)[out_cols]
-
-
-def _tokenize_grouped(
-    docs: DataFrame, n_docs: int, n_segments: int, n_buckets: int,
-    with_positions: bool, analyzer: str = "index",
-) -> DataFrame:
-    """doc_stats slice → grouped (term, seg) posting-run rows (map-side
-    combine: one row per term per Arrow batch, array columns)."""
-    schema = _grouped_schema(with_positions)
-
-    def gen(batches):
-        for pdf in batches:
-            g = term_freqs_batch(pdf["text"], with_positions=with_positions,
-                                 analyzer=analyzer)
-            if len(g) == 0:
-                continue
-            ords = pdf["doc_ord"].to_numpy(np.int64)[g["row"].to_numpy(np.int64)]
-            segs = np.minimum(ords * n_segments // n_docs, n_segments - 1).astype(np.int32)
-            order = np.lexsort((ords, segs, g["term"].to_numpy(object)))
-            terms = g["term"].to_numpy(object)[order]
-            ords, segs = ords[order], segs[order]
-            tfs = g["tf"].to_numpy(np.int32)[order]
-            dls = g["dl"].to_numpy(np.int32)[order]
-            new_g = np.ones(len(terms), dtype=bool)
-            new_g[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
-            starts = np.flatnonzero(new_g)
-            split = starts[1:]
-            ut = terms[starts]
-            lut = {t: term_bucket(t, n_buckets) for t in dict.fromkeys(ut)}
-            out = {
-                "term": ut,
-                "seg": segs[starts],
-                "tbucket": pd.Series(ut).map(lut).to_numpy(np.int32),
-                "min_doc": ords[starts],
-                "doc_ords": np.split(ords, split),
-                "tfs": np.split(tfs, split),
-                "dls": np.split(dls, split),
-            }
-            if with_positions:
-                plists = g["positions"].to_numpy(object)[order]
-                pos_flat = np.concatenate(plists).astype(np.int32)
-                counts = tfs.astype(np.int64)
-                val_off = np.concatenate(([0], np.cumsum(counts)))
-                out["positions"] = np.split(pos_flat, val_off[split])
-            yield pd.DataFrame(out)[[f.name for f in schema.fields]]
-
-    return docs.select("doc_ord", "text").mapInPandas(gen, schema)
 
 
 def _tokenize_encode(
@@ -571,10 +532,7 @@ def build_index(
                 F.count("*").alias("n_chunks"),
                 F.max(F.array_max("block_max_tf")).alias("max_tf"),
             )
-            .withColumn(
-                "tbucket",
-                F.udf(lambda t: term_bucket(t, n_buckets), T.IntegerType())("term"),
-            )
+            .withColumn("tbucket", term_bucket_col(n_buckets))
             .repartitionByRange(max(1, n_buckets // 16), "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")

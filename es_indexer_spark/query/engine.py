@@ -144,14 +144,17 @@ class IndexSearcher:
             grouped = {t: g for t, g in pdf.groupby("term", sort=False)}
             for t in missing:
                 self._chunk_cache[t] = grouped.get(t, pdf.iloc[0:0])
-            while len(self._chunk_cache) > self._CACHE_MAX_TERMS:
-                self._chunk_cache.pop(next(iter(self._chunk_cache)))
         parts = []
         for t in uniq:
             got = self._chunk_cache.pop(t)  # re-insert → LRU recency order
             self._chunk_cache[t] = got
             if len(got):
                 parts.append(got)
+        # evict only AFTER the current query's terms were touched — evicting
+        # first could drop a hit term of this very query (KeyError) once the
+        # cache is full in a long-lived searcher
+        while len(self._chunk_cache) > self._CACHE_MAX_TERMS:
+            self._chunk_cache.pop(next(iter(self._chunk_cache)))
         if not parts:
             return next(iter(self._chunk_cache.values())).iloc[0:0] if self._chunk_cache else pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
@@ -328,7 +331,9 @@ class IndexSearcher:
         d = self.term_dictionary()
         terms = d["term"].to_numpy(object)
         lo = np.searchsorted(terms, prefix, side="left")
-        hi = np.searchsorted(terms, prefix + "￿", side="right")
+        # upper bound: append the max code point so supplementary-plane
+        # characters (> U+FFFF) starting with the prefix are included
+        hi = np.searchsorted(terms, prefix + "\U0010FFFF", side="right")
         cand = d.iloc[lo:hi].nlargest(max_expansions, "df")
         return cand["term"].tolist()
 
@@ -389,19 +394,25 @@ class IndexSearcher:
         return self.spark.read.parquet(os.path.join(self.vdir, "doc_stats"))
 
     def get(self, doc_id: str) -> pd.DataFrame:
-        """Q1 ids lookup (point fetch, parquet predicate pushdown)."""
-        return (
-            self._doc_ds.to_table(filter=pc.field("doc_id") == doc_id)
-            .to_pandas()
-        )
+        """Q1 ids lookup (point fetch, parquet predicate pushdown).
+        Tombstoned ordinals are masked so a post-upsert lookup returns only
+        the live version — consistent with the scored paths."""
+        pdf = self._doc_ds.to_table(filter=pc.field("doc_id") == doc_id).to_pandas()
+        if len(self.tombstones) and len(pdf):
+            pdf = pdf[~pdf["doc_ord"].isin(self.tombstones)].reset_index(drop=True)
+        return pdf
 
     def scan_after(
         self, cursor: tuple[str, int] | None = None, page_size: int = 100
     ) -> DataFrame:
         """Q4 match_all + stable sort + search_after keyset pagination
         (GeoNetworkServiceImpl.java:585-603). Predicate pushes to parquet;
-        no deep-offset skip."""
-        df = self.doc_stats_df().select("conv_id", "turn_idx", "doc_id", "role", "text")
+        no deep-offset skip. Deleted docs are masked (isin over the small
+        tombstone set; a compacting rebuild is the remedy when it grows)."""
+        df = self.doc_stats_df()
+        if len(self.tombstones):
+            df = df.filter(~F.col("doc_ord").isin([int(x) for x in self.tombstones]))
+        df = df.select("conv_id", "turn_idx", "doc_id", "role", "text")
         if cursor is not None:
             c, t = cursor
             df = df.filter(

@@ -61,7 +61,9 @@ def append_batch(
     when given (streaming replays overwrite, never duplicate — the Spark
     analogue of the reference's retry-until-success upsert,
     ``IndexServiceImpl.java:167-221``)."""
-    from ..analysis import doc_length_udf
+    from pyspark.sql import types as T
+
+    from ..analysis import suggest_tokens_series, tokenize_series
     from ..corpus import with_doc_ids
 
     vdir = catalog.current_version_dir(index_dir)
@@ -71,6 +73,18 @@ def append_batch(
     n_before = int(manifest["n_docs"])
     n_buckets = int(manifest["n_buckets"])
     with_positions = bool(manifest["with_positions"])
+    # analyzer symmetry: appends to a suggest-analyzed index must tokenize
+    # (both dl and postings) with the SAME analyzer the index was built with
+    analyzer = manifest.get("analyzer", "index")
+
+    def _dl(texts):
+        lists = (
+            tokenize_series(texts) if analyzer == "index"
+            else suggest_tokens_series(texts)
+        )
+        return lists.map(len).astype("int32")
+
+    dl_udf = F.pandas_udf(_dl, T.IntegerType())
     postings_root = os.path.join(vdir, "postings")
     bid = _next_batch_id(postings_root) if epoch_id is None else 10_000 + int(epoch_id)
     seg_id = int(manifest["n_segments"]) + bid  # fresh segment label per batch
@@ -92,7 +106,7 @@ def append_batch(
         return {"appended": 0, "n_docs": n_before}
 
     doc_slice = (
-        docs.withColumn("dl", doc_length_udf("text"))
+        docs.withColumn("dl", dl_udf("text"))
         .withColumn("seg", F.lit(seg_id))
         .select(
             "doc_ord", "doc_id", "conv_id", "turn_idx", "role", "tool",
@@ -102,12 +116,16 @@ def append_batch(
     # idempotent per-epoch append: distinct partition directory, overwrite
     ds_batch = os.path.join(vdir, "doc_stats", f"batch={bid}")
     doc_slice.write.mode("overwrite").parquet(ds_batch)
+    parent = getattr(docs, "_persisted_parent", None)
+    if parent is not None:  # release the ordinal-assignment cache per epoch
+        parent.unpersist()
     doc_slice = spark.read.parquet(ds_batch)
 
     n_total = n_before + m
     pre = _tokenize_encode(
         doc_slice.withColumn("doc_ord", F.col("doc_ord")),  # already offset
         n_docs=1, n_segments=1, n_buckets=n_buckets, with_positions=with_positions,
+        analyzer=analyzer,
     ).withColumn("seg", F.lit(seg_id))
     enc = (
         pre.repartition(
@@ -148,9 +166,7 @@ def append_batch(
 
 
 def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int) -> None:
-    from pyspark.sql import types as T
-
-    from ..index.build import term_bucket
+    from ..index.build import term_bucket_col
 
     postings = spark.read.parquet(os.path.join(vdir, "postings"))
     tmp = os.path.join(vdir, "term_stats_new")
@@ -162,10 +178,7 @@ def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int) -> None:
             F.count("*").alias("n_chunks"),
             F.max(F.array_max("block_max_tf")).alias("max_tf"),
         )
-        .withColumn(
-            "tbucket",
-            F.udf(lambda t: term_bucket(t, n_buckets), T.IntegerType())("term"),
-        )
+        .withColumn("tbucket", term_bucket_col(n_buckets))
         .repartitionByRange(max(1, n_buckets // 16), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
