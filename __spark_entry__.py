@@ -344,7 +344,12 @@ def _tp_exact_dups(spark, sf_dir):
 def _tp_jaccard_pairs(spark, sf_dir):
     from es_indexer_spark.ops import dedup
 
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    # max_df exercises the hot-shingle cap (mirrored in the oracle SQL):
+    # ubiquitous shingles are dropped before the self-join so candidate
+    # counts stay bounded on Zipfian corpora
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
 
 
 def _tp_minhash_pairs(spark, sf_dir):
@@ -540,7 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "tp_quality": textstats.sql_quality_features(),
         "tp_fingerprint": textstats.sql_content_fingerprint(),
         "tp_exact_dups": dedup.sql_exact_duplicates(),
-        "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5),
+        "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5, max_df=100),
         "tp_cosine_topk": _sql_cosine(),
         # rows-only (intentionally no oracle): tp_minhash_pairs,
         # tp_simhash_pairs, tp_ann_topk, tp_ivf_topk

@@ -80,6 +80,40 @@ def test_ngram_jaccard_pairs(docs):
     )
 
 
+def test_ngram_jaccard_max_df_matches_sql(docs):
+    # the hot-shingle cap must agree with its DuckDB mirror even when it
+    # actually drops shingles (max_df=5 bites on this corpus)
+    _cmp(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_df=5),
+        dedup.sql_ngram_jaccard_pairs(threshold=0.3, max_df=5),
+        ["id_a", "id_b"],
+    )
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """Zipfian skew: one shingle shared by ALL docs. Uncapped, the self-join
+    emits C(n,2) candidate pairs; with max_df the ubiquitous shingle is
+    dropped and only genuinely-similar docs pair up."""
+    n = 60
+    rows = []
+    for i in range(n):
+        extra = " ".join(f"u{i}x{j}" for j in range(6))
+        rows.append((f"d{i:03d}", f"hot hot hot hot {extra}"))
+    # one true near-dup pair sharing discriminative content
+    rows[0] = ("d000", "hot hot hot hot alpha beta gamma delta epsilon zeta")
+    rows[1] = ("d001", "hot hot hot hot alpha beta gamma delta epsilon eta")
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0).toPandas()
+    assert len(uncapped) == n * (n - 1) // 2  # quadratic blowup: every pair
+
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_df=10).toPandas()
+    assert len(capped) == 1  # only the real near-dup survives the cap
+    assert tuple(capped.iloc[0][["id_a", "id_b"]]) == ("d000", "d001")
+    # and its jaccard is computed over the retained shingle space only
+    assert 0 < capped["jaccard"].iloc[0] <= 1
+
+
 def test_minhash_lsh_recall_and_precision(docs):
     exact = (
         dedup.ngram_jaccard_pairs(docs, threshold=0.8)
