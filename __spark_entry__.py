@@ -291,6 +291,31 @@ def _rel_date_widening(spark, sf_dir):
     )
 
 
+# deterministic synthetic bboxes over events (identical integer arithmetic
+# in Spark and DuckDB — the very same expression strings run on both): the
+# per-group clustered centers make every StacUtils branch — westward +360
+# shift, whole-planet collapse, shift-back, and antimeridian-crossing
+# maxX<minX repair — fire for some group
+_BBOX_EXPRS = [
+    "event_id % 101 as grp",
+    "cast(((event_id % 101) * 7) % 340 - 170 + (event_id % 11) - 5"
+    " - ((event_id % 9) + 1) as double) as xmin",
+    "cast((event_id % 150) - 90 as double) as ymin",
+    "cast(((event_id % 101) * 7) % 340 - 170 + (event_id % 11) - 5"
+    " + ((event_id % 9) + 1) as double) as xmax",
+    "cast((event_id % 150) - 90 + (event_id % 21) as double) as ymax",
+]
+
+
+def _rel_bbox_union(spark, sf_dir):
+    """A6: bounding-box expand-union with antimeridian shift
+    (StacUtils.java:47-126) as a pure column-expression aggregate."""
+    from es_indexer_spark.functions import geo
+
+    b = _t(spark, sf_dir, "events").selectExpr(*_BBOX_EXPRS)
+    return geo.bbox_expand_union(b, ["grp"])
+
+
 def _rel_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped wide aggregation (the classic partial-agg shape)."""
     return (
@@ -436,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_set_union": _rel_set_union,
         "rel_lineitem_pricing": _rel_lineitem_pricing,
         "rel_date_widening": _rel_date_widening,
+        "rel_bbox_union": _rel_bbox_union,
         # training-pipeline ops
         "tp_token_counts": _tp_token_counts,
         "tp_language_id": _tp_language_id,
@@ -540,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
                      + interval '23 hours 59 minutes 59 seconds' as range_end
             from events
         """,
+        "rel_bbox_union": _sql_bbox_union(),
         "tp_token_counts": textstats.sql_token_counts(),
         "tp_language_id": textstats.sql_language_id(),
         "tp_quality": textstats.sql_quality_features(),
@@ -550,6 +577,13 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (intentionally no oracle): tp_minhash_pairs,
         # tp_simhash_pairs, tp_ann_topk, tp_ivf_topk
     }
+
+
+def _sql_bbox_union() -> str:
+    from es_indexer_spark.functions import geo
+
+    inner = f"select {', '.join(_BBOX_EXPRS)} from events"
+    return geo.sql_bbox_expand_union(inner, group_col="grp")
 
 
 def _sql_cosine() -> str:

@@ -1,1 +1,1 @@
-from . import scalar  # noqa: F401
+from . import geo, scalar  # noqa: F401
