@@ -113,6 +113,10 @@ class IndexSearcher:
         self._norms: dict | None = None
         self._term_dict: pd.DataFrame | None = None
         self._chunk_cache: dict[str, pd.DataFrame] = {}
+        self._df_cache: dict[str, int] = {}
+        # corpora larger than this auto-dispatch search/count/phrase/suggest
+        # to the distributed path (driver path holds O(corpus) norms)
+        self.driver_max_docs = int(os.environ.get("ES_IDX_DRIVER_MAX_DOCS", 20_000_000))
         self.synonyms = SynonymSet()
         from ..streaming.incremental import load_tombstones
 
@@ -262,7 +266,17 @@ class IndexSearcher:
         over long postings (where skipping pays) and exhaustive scoring
         for many-term expansions or short postings (where the sweep's
         bookkeeping costs more than scoring everything) — the same
-        query-shape dispatch Lucene applies to WAND. Both are exact."""
+        query-shape dispatch Lucene applies to WAND. Both are exact.
+
+        Above ``driver_max_docs`` the query auto-dispatches to the
+        distributed path (identical results — pytest rank-identity)."""
+        if self.n_docs > self.driver_max_docs:
+            return self.search_df(
+                query, k, mode=mode,
+                strategy="blockmax" if strategy in ("auto", "blockmax") else strategy,
+                role_boosts=role_boosts, tool_boosts=tool_boosts,
+                term_boosts=term_boosts, expand_synonyms=expand_synonyms,
+            ).toPandas()
         terms = self.analyze_query(query, expand_synonyms)
         views = self._views(terms, term_boosts=term_boosts)
         if strategy == "auto":
@@ -282,7 +296,11 @@ class IndexSearcher:
         return self._materialize(docs, scores)
 
     def count(self, query: str | list[str], mode: str = "or") -> int:
-        """Q7 size(0) total-hits count."""
+        """Q7 size(0) total-hits count (distributed above the corpus
+        threshold — a stop-word count must not decode postings driver-side
+        at 10^9 docs)."""
+        if self.n_docs > self.driver_max_docs:
+            return self.count_df(query, mode)
         terms = self.analyze_query(query)
         views = [v for v in self._views(terms) if v.df > 0]
         if not views:
@@ -300,6 +318,8 @@ class IndexSearcher:
     def phrase_search(self, phrase: str, k: int = 10) -> pd.DataFrame:
         """match_phrase: adjacent in-order terms (unscored filter in the
         reference; we also return BM25 scores of the AND-group for ranking)."""
+        if self.n_docs > self.driver_max_docs:
+            return self.phrase_search_df(phrase, k).toPandas()
         terms = tokenize_py(phrase) if isinstance(phrase, str) else list(phrase)
         views = self._views(terms)
         if any(v.df == 0 for v in views):
@@ -369,6 +389,10 @@ class IndexSearcher:
         expansion also matches multi-word shingles, and expansions carry
         the reference's per-field boosts: base^10, _2gram^5, _3gram^2
         (word count of the matched dictionary entry picks the tier)."""
+        if self.n_docs > self.driver_max_docs:
+            return self.suggest_df(
+                query, k, fuzzy=fuzzy, role_boosts=role_boosts, boosts=boosts
+            ).toPandas()
         toks = tokenize_py(query)
         if not toks:
             return self._materialize(np.zeros(0, np.int64), np.zeros(0, np.float64))
@@ -422,6 +446,43 @@ class IndexSearcher:
         return df.orderBy("conv_id", "turn_idx").limit(page_size)
 
     # ------------------------------------------------------ distributed path
+    #
+    # Full feature parity with the driver path (synonyms, term/role/tool
+    # boosts, phrase, suggest, count): any query answerable at sf0.1 on the
+    # driver is answerable at 10^9 docs here, with NO O(corpus) driver state
+    # — global term stats come from a pruned parquet filter (rows = query
+    # terms), everything else rides the segment cogroup.
+
+    def _global_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Corpus-wide df per query term (idf is a global statistic). A
+        pruned scan of term_stats (PushedFilters: term IN (...)) returning
+        len(terms) rows — never the full dictionary."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            got = {t: 0 for t in missing}
+            if self._term_dict is not None:  # driver dict already resident
+                td = self._term_dict
+                sub = td[td["term"].isin(missing)]
+                got.update(dict(zip(sub["term"], sub["df"].astype(int))))
+            else:
+                rows = (
+                    self.spark.read.parquet(os.path.join(self.vdir, "term_stats"))
+                    .filter(F.col("term").isin(missing))
+                    .select("term", "df")
+                    .collect()
+                )
+                got.update({r["term"]: int(r["df"]) for r in rows})
+            self._df_cache.update(got)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _postings_df(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return (
+            self.spark.read.parquet(os.path.join(self.vdir, "postings"))
+            .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
+            .select(*self._posting_cols())
+        )
+
     def search_df(
         self,
         query: str | list[str],
@@ -431,34 +492,40 @@ class IndexSearcher:
         strategy: str = "blockmax",
         role_boosts: dict[str, float] | None = None,
         tool_boosts: dict[str, float] | None = None,
+        term_boosts: dict[str, float] | None = None,
+        expand_synonyms: bool = False,
+        phrase_terms: list[str] | None = None,
     ) -> DataFrame:
         """Segment-parallel top-k: every segment (= shard) scores its own
         doc range with the same numpy kernel, emits a local top-k, and the
         tiny union is globally sorted. Scales to any corpus the build
-        scaled to — no driver-side norms."""
-        terms = self.analyze_query(query)
+        scaled to — no driver-side norms.
+
+        ``phrase_terms`` (query-ordered) restricts hits to docs where those
+        terms occur adjacently in order (match_phrase); requires a
+        with_positions index. The adjacency test is segment-local because a
+        doc lives in exactly one segment."""
+        terms = self.analyze_query(query, expand_synonyms)
         uniq_terms = sorted(set(terms))
-        # global df per term from the dictionary (needed for idf — df is a
-        # corpus-wide statistic, not per-segment)
-        td = self.term_dictionary()
-        dfs = {t: int(td.loc[td["term"] == t, "df"].sum()) for t in uniq_terms}
-        if mode == "and" and any(dfs[t] == 0 for t in uniq_terms):
-            return self.spark.createDataFrame(
-                [],
-                "doc_ord long, doc_id string, conv_id string, turn_idx int, "
-                "role string, score double",
-            )
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in uniq_terms})
-        postings = (
-            self.spark.read.parquet(os.path.join(self.vdir, "postings"))
-            .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(uniq_terms))
-            .select(*self._posting_cols())
+        dfs = self._global_dfs(uniq_terms)
+        empty = self.spark.createDataFrame(
+            [],
+            "doc_ord long, doc_id string, conv_id string, turn_idx int, "
+            "role string, score double",
         )
+        if not uniq_terms or (
+            (mode == "and" or phrase_terms) and any(dfs[t] == 0 for t in uniq_terms)
+        ):
+            return empty
+        postings = self._postings_df(uniq_terms)
         doc_side = self.doc_stats_df().select("seg", "doc_ord", "dl", "role", "tool")
         n_docs, avgdl = self.n_docs, self.avgdl
         rb, tb = role_boosts or {}, tool_boosts or {}
+        qb = term_boosts or {}
         max_boost = max([1.0] + list(rb.values()) + list(tb.values()))
         tombstones = self.tombstones  # small; broadcast-join a DF if huge
+        if phrase_terms:
+            mode = "and"
 
         def score_seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
             if len(pq) == 0 or len(dq) == 0:
@@ -476,11 +543,38 @@ class IndexSearcher:
                 for t, w in tb.items():
                     boost_of[tools == t] *= w
             pq = pq.sort_values(["term", "seg", "min_doc"])
-            views = [
-                scoring.TermView(t, pq[pq["term"] == t], dfs[t], n_docs)
+            by_term = {
+                t: scoring.TermView(
+                    t, pq[pq["term"] == t], dfs[t], n_docs, boost=qb.get(t, 1.0)
+                )
                 for t in uniq_terms
                 if dfs[t] > 0
-            ]
+            }
+            views = list(by_term.values())
+            if phrase_terms:
+                # phrase filter first: AND-intersect, then adjacency
+                ordered = [by_term[t] for t in phrase_terms]
+                sets = [v.decode_all()[0] for v in ordered]
+                inter = sets[0]
+                for s in sets[1:]:
+                    inter = np.intersect1d(inter, s)
+                hits = (
+                    scoring.phrase_docs(ordered, inter)
+                    if len(phrase_terms) > 1
+                    else inter
+                )
+                if len(tombstones):
+                    hits = hits[~np.isin(hits, tombstones)]
+                if len(hits) == 0:
+                    return pd.DataFrame({"doc_ord": [], "score": []})
+                docs, scores = scoring.exhaustive_topk(
+                    views, dl_of, avgdl, k=max(1, len(inter)),
+                    dl_base=base, boost_of=boost_of, mode="and",
+                    deleted=tombstones,
+                )
+                keep = np.isin(docs, hits)
+                docs, scores = docs[keep][:k], scores[keep][:k]
+                return pd.DataFrame({"doc_ord": docs, "score": scores})
             kern = (
                 scoring.blockmax_topk if strategy == "blockmax" else scoring.exhaustive_topk
             )
@@ -507,4 +601,132 @@ class IndexSearcher:
             "doc_ord",
         ).select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score").orderBy(
             F.desc("score"), F.asc("doc_ord")
+        )
+
+    def count_df(self, query: str | list[str], mode: str = "or") -> int:
+        """Q7 count, distributed: per-segment set algebra over the pruned
+        posting chunks (each doc lives in exactly one segment, so segment
+        counts sum exactly). Single-term, tombstone-free counts short-cut
+        to the term dictionary row — no postings decoded at all."""
+        terms = self.analyze_query(query)
+        uniq_terms = sorted(set(terms))
+        if not uniq_terms:
+            return 0
+        dfs = self._global_dfs(uniq_terms)
+        if mode == "and" and any(dfs[t] == 0 for t in uniq_terms):
+            return 0
+        if len(uniq_terms) == 1 and not len(self.tombstones):
+            return dfs[uniq_terms[0]]
+        tombstones = self.tombstones
+        n_docs = self.n_docs
+
+        def count_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"n": []})
+            pdf = pdf.sort_values(["term", "seg", "min_doc"])
+            sets = []
+            for t in uniq_terms:
+                chunks = pdf[pdf["term"] == t]
+                if len(chunks) == 0:
+                    if mode == "and":
+                        return pd.DataFrame({"n": [0]})
+                    continue
+                v = scoring.TermView(t, chunks, int(chunks["df_chunk"].sum()), n_docs)
+                sets.append(v.decode_all()[0])
+            if not sets:
+                return pd.DataFrame({"n": [0]})
+            acc = sets[0]
+            for s in sets[1:]:
+                acc = np.intersect1d(acc, s) if mode == "and" else np.union1d(acc, s)
+            if len(tombstones):
+                acc = acc[~np.isin(acc, tombstones)]
+            return pd.DataFrame({"n": [len(acc)]})
+
+        per_seg = (
+            self._postings_df(uniq_terms)
+            .groupBy("seg")
+            .applyInPandas(lambda key, pdf: count_seg(pdf), "n long")
+        )
+        row = per_seg.agg(F.sum("n").alias("total")).collect()[0]
+        return int(row["total"] or 0)
+
+    def phrase_search_df(self, phrase: str, k: int = 10) -> DataFrame:
+        """Q3 match_phrase, distributed (see ``phrase_terms`` in
+        ``search_df``)."""
+        terms = tokenize_py(phrase) if isinstance(phrase, str) else list(phrase)
+        return self.search_df(terms, k, mode="and", phrase_terms=terms)
+
+    # ---------------------------------------- distributed dictionary expansion
+    def _term_stats_sdf(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.vdir, "term_stats"))
+
+    def expand_prefix_df(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """Prefix expansion as a pruned Spark filter over the term-sorted
+        term_stats parquet (StringStartsWith pushes to the scan; row groups
+        outside the prefix range never load). Highest-df first, term-order
+        tie-break — identical selection to the driver ``expand_prefix``."""
+        rows = (
+            self._term_stats_sdf()
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_fuzzy_df(
+        self, term: str, max_edits: int | None = None, max_expansions: int = 50
+    ) -> list[str]:
+        """AUTO-fuzziness expansion as a Spark filter (F.length band +
+        F.levenshtein bound, both JVM-side) over term_stats."""
+        d = auto_fuzziness(term) if max_edits is None else max_edits
+        td = self._term_stats_sdf()
+        if d == 0:
+            rows = td.filter(F.col("term") == term).limit(1).collect()
+            return [term] if rows else []
+        rows = (
+            td.filter(
+                (F.length("term") >= len(term) - d)
+                & (F.length("term") <= len(term) + d)
+                & (F.levenshtein(F.lit(term), F.col("term")) <= d)
+            )
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def suggest_df(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        fuzzy: bool = True,
+        role_boosts: dict[str, float] | None = None,
+        boosts: tuple[float, float, float] = (10.0, 5.0, 2.0),
+    ) -> DataFrame:
+        """Q6 search-as-you-type, distributed end to end: expansions come
+        from Spark filters on term_stats (tiny collect: <= max_expansions
+        terms), scoring from the segment cogroup — no O(corpus|dictionary)
+        driver state."""
+        toks = tokenize_py(query)
+        if not toks:
+            return self.search_df([], k)
+        terms: list[str] = []
+        for t in toks[:-1]:
+            terms.extend(self.expand_fuzzy_df(t) if fuzzy else [t])
+        expansions = self.expand_prefix_df(toks[-1]) or [toks[-1]]
+        terms.extend(expansions)
+        term_boosts = None
+        if self.manifest.get("analyzer") == "suggest":
+            b1, b2, b3 = boosts
+            term_boosts = {
+                t: (b1 if t.count(" ") == 0 else b2 if t.count(" ") == 1 else b3)
+                for t in terms
+            }
+        return self.search_df(
+            list(dict.fromkeys(terms)), k,
+            role_boosts=role_boosts, term_boosts=term_boosts,
         )
