@@ -40,6 +40,41 @@ def test_goldens_exist(golden):
     assert len(golden["queries"]) >= 10
 
 
+@pytest.fixture(scope="module")
+def multifield(spark, tmp_path_factory, golden):
+    """std^10 + sayt^5 multi-field searcher over the same golden corpus —
+    the reference's nested bool_prefix query shape
+    (IndexerServiceIT.java:219-238)."""
+    from es_indexer_spark.query.multifield import MultiFieldSearcher
+
+    c = golden["corpus"]
+    df_args = (c["n_convs"], c["turns_per_conv"])
+    b1, b2 = golden["multifield"]["field_boosts"]
+    d1 = str(tmp_path_factory.mktemp("golden_mf_std"))
+    d2 = str(tmp_path_factory.mktemp("golden_mf_sayt"))
+    build_index(
+        spark, synth_transcripts(spark, *df_args, seed=c["seed"]), d1,
+        n_buckets=16, n_segments=4,
+    )
+    build_index(
+        spark, synth_transcripts(spark, *df_args, seed=c["seed"]), d2,
+        n_buckets=16, n_segments=4, analyzer="suggest",
+    )
+    return MultiFieldSearcher(
+        [(IndexSearcher(spark, d1), b1), (IndexSearcher(spark, d2), b2)]
+    )
+
+
+@pytest.mark.parametrize("i", range(5))
+def test_golden_multifield_bool_prefix(multifield, golden, i):
+    q = golden["multifield"]["queries"][i]
+    got = multifield.bool_prefix(q["query"], k=q["k"], fuzzy=q["fuzzy"])
+    assert got["doc_id"].tolist() == [g["doc_id"] for g in q["golden"]], q["query_id"]
+    assert [float(s).hex() for s in got["score"]] == [
+        g["score_hex"] for g in q["golden"]
+    ], q["query_id"]
+
+
 @pytest.mark.parametrize("i", range(10))
 def test_golden_query(searcher, golden, i):
     q = golden["queries"][i]

@@ -79,6 +79,36 @@ def test_multifield_suggest_prefers_phrase_field(multi):
     assert len(out) >= 1 and out["score"].is_monotonic_decreasing
 
 
+def test_bool_prefix_fuzzy_auto(multi):
+    """The reference's exact query shape (IndexerServiceIT.java:219-238):
+    a misspelled non-last token must still match via AUTO fuzziness."""
+    s1, s2, o1, _ = multi
+    m = MultiFieldSearcher([(s1, 10.0), (s2, 5.0)])
+    got = m.bool_prefix("bacu cor", k=10, fuzzy=True)  # 'bacu' ~1~ 'baco'
+    assert len(got) > 0
+    # every hit contains a fuzzy expansion of 'bacu' or a 'cor'-prefixed term
+    exp = set(s1.expand_fuzzy("bacu")) | set(s1.expand_prefix("cor")) | set(
+        s2.expand_fuzzy("bacu")
+    ) | set(s2.expand_prefix("cor"))
+    assert exp, "expansions must be non-empty"
+    strict = m.bool_prefix("bacu cor", k=10, fuzzy=False)
+    # fuzzy matching can only widen (or re-rank), never lose all results
+    assert len(got) >= len(strict)
+
+
+def test_bool_prefix_exact_merge_not_per_field_topk(multi):
+    """Sum-of-full-vectors semantics: bool_prefix at k equals the head of
+    bool_prefix at a huge k (no per-field truncation artifacts)."""
+    s1, s2, _, _ = multi
+    m = MultiFieldSearcher([(s1, 1.0), (s2, 5.0)])
+    small = m.bool_prefix("baco co", k=5)
+    big = m.bool_prefix("baco co", k=200)
+    assert small["doc_ord"].tolist() == big["doc_ord"].tolist()[:5]
+    np.testing.assert_allclose(
+        small["score"].to_numpy(), big["score"].to_numpy()[:5], rtol=0, atol=0
+    )
+
+
 def test_mismatched_corpora_rejected(multi, spark, tmp_path):
     s1, _, _, _ = multi
     other_dir = str(tmp_path / "other")
