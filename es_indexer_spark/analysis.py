@@ -137,13 +137,106 @@ def _shingles(toks: list[str]) -> list[str]:
     return list(dict.fromkeys(out))
 
 
+def suggest_tokens_py(text: str) -> list[str]:
+    """Scalar reference implementation of the shingle chain (kept as the
+    cross-check target for the vectorized path; tests assert equality)."""
+    return _shingles(_shingle_chain(text))
+
+
+def _clean_tokens_vec(uniq: pd.Series) -> np.ndarray:
+    """Token-stream filters of shingle_analyser applied to the batch's
+    DISTINCT tokens only (vectorized pandas str kernels; Zipfian token
+    distributions make distinct ≪ occurrences). '' marks a dropped token.
+    Filter order matches ``_shingle_chain`` exactly."""
+    t = (
+        uniq.str.normalize("NFKD")
+        .str.encode("ascii", "ignore")
+        .str.decode("ascii")  # asciifolding
+        .str.replace(NUMBERS_RE, "", regex=True)  # remove_numbers
+        .str.replace(UUID_RE, "", regex=True)  # uuid_filter
+    )
+    t = t.where(~t.str.fullmatch(NON_STANDARD_RE), "")  # non_standard_pattern
+    stops = ET_AL_STOP | ENGLISH_STOP
+    t = t.where(~t.isin(stops), "")  # et_al_stop + english_stop
+    t = t.where(t.str.len() >= 2, "")  # length_filter (min 2)
+    return t.to_numpy(object)
+
+
 def suggest_tokens_series(texts: pd.Series) -> pd.Series:
     """Full shingle_analyser chain → unique 1-4-gram phrase set per row.
 
     Powers the search_suggestions field (reference golden test:
     ``IndexerServiceIT.verifyAbstractPhrases``, IT lines 509-651).
-    """
-    return texts.map(lambda t: _shingles(_shingle_chain(t)))
+
+    Whole-batch vectorized (the slowest analyzer stage of round 1 was this
+    chain running per row): tokens factorized once, the per-token filter
+    chain runs on distinct tokens only, the 350-token cap and the 1-4-gram
+    shingling are pure numpy over the flattened stream, and the
+    order-preserving ``unique`` filter is one stable (row, size, pos) sort
+    + duplicated() drop. Byte-identical to ``suggest_tokens_py``."""
+    n = len(texts)
+    empty = pd.Series([[] for _ in range(n)], index=texts.index)
+    if n == 0:
+        return empty
+    # tokenize BEFORE lowercasing (as the scalar chain does — lowercasing
+    # first can change token boundaries, e.g. 'İ'.lower() adds a combining
+    # mark); the lowercase + filter chain then runs on distinct tokens only
+    s = texts.fillna("").str.replace(HTML_RE, " ", regex=True)
+    tok_lists = s.str.findall(TOKEN_RE)
+    lens = tok_lists.map(len).to_numpy(np.int64)
+    if lens.sum() == 0:
+        return empty
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+    )
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniq = pd.factorize(flat, sort=False)
+    cleaned = _clean_tokens_vec(pd.Series(uniq, dtype=object).str.lower())[codes]
+    keep = cleaned != ""
+    rows, toks = rows[keep], cleaned[keep]
+    # token_limit 350 per doc (position BEFORE shingling, matching the chain)
+    counts = np.bincount(rows, minlength=n)
+    first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos_in_row = np.arange(len(rows), dtype=np.int64) - first[rows]
+    keep = pos_in_row < MAX_TOKENS
+    rows, toks, pos_in_row = rows[keep], toks[keep], pos_in_row[keep]
+    m = len(rows)
+    if m == 0:
+        return empty
+    # shingle identity as INTEGER code tuples: dedupe happens on int keys
+    # and only the surviving shingles are ever materialized as strings.
+    # Codes come from a second factorize over the CLEANED tokens so that
+    # raw spellings that clean to the same string share one code (string-
+    # faithful dedupe; tokens contain no spaces, so code tuple == string).
+    codes2 = pd.factorize(pd.Series(toks, dtype=object), sort=False)[0].astype(np.int64)
+    starts_parts, size_parts = [np.arange(m, dtype=np.int64)], [np.ones(m, np.int64)]
+    for size in range(SHINGLE_MIN, SHINGLE_MAX + 1):
+        if m < size:
+            break
+        e = m - size + 1
+        valid = np.flatnonzero(rows[:e] == rows[size - 1 :])
+        starts_parts.append(valid)
+        size_parts.append(np.full(len(valid), size, np.int64))
+    starts = np.concatenate(starts_parts)  # start offset of each shingle
+    sizes = np.concatenate(size_parts)
+    K = np.full((len(starts), 5), -1, dtype=np.int64)
+    K[:, 0] = rows[starts]
+    for j in range(4):
+        sel = sizes > j
+        K[sel, j + 1] = codes2[starts[sel] + j]
+    # keep-first per (row, codes): blocks are size-major and pos-ascending,
+    # so within any one row the concat order IS the scalar emission order
+    surv = np.flatnonzero(~pd.DataFrame(K).duplicated().to_numpy())
+    surv = surv[np.lexsort((surv, K[surv, 0]))]  # row-major, emission order
+    tl = toks.tolist()  # list slicing joins ~3x faster than ndarray slices
+    shingles = [
+        tl[p] if s == 1 else " ".join(tl[p : p + s])
+        for p, s in zip(starts[surv].tolist(), sizes[surv].tolist())
+    ]
+    counts = np.bincount(K[surv, 0], minlength=n)
+    sh_arr = np.asarray(shingles, dtype=object) if shingles else np.zeros(0, object)
+    parts = np.split(sh_arr, np.cumsum(counts)[:-1])
+    return pd.Series([list(p) for p in parts], index=texts.index)
 
 
 # --------------------------------------------------------------------------

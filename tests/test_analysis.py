@@ -117,3 +117,41 @@ def test_build_acronym_rules():
     assert "si => somewhere institute" in rules
     assert rules == sorted(set(rules))
     assert not any(r.startswith("notanacronym") for r in rules)
+
+
+def test_suggest_vectorized_matches_scalar_reference():
+    """The vectorized shingle chain must be byte-identical to the scalar
+    reference (suggest_tokens_py) — including every fixture oddity."""
+    import numpy as np
+    from es_indexer_spark.analysis import suggest_tokens_py
+
+    rng = np.random.default_rng(3)
+    oddities = [
+        "", "   ", "the and of to is", "42 2024 7", "café naïve déjà vu",
+        "et al. et-al", "<b>bold</b> <i>x</i> plain",
+        "123e4567-e89b-12d3-a456-426614174000 uuid text",
+        "İstanbul CAFÉ ẞß Maße", "日本語 mixed ascii", "a b c d e f g h",
+        "x " * 500,  # token_limit
+        "one", "tw o2 three3 four", "under_score-dash",
+    ]
+    # plus pseudo-random zipfy sentences
+    vocab = ["baco", "cora", "dala", "the", "merge", "spark", "42", "café", "xx"]
+    for _ in range(60):
+        k = rng.integers(0, 30)
+        oddities.append(" ".join(rng.choice(vocab, size=k)))
+    s = pd.Series(oddities)
+    got = suggest_tokens_series(s)
+    for i, text in enumerate(oddities):
+        assert got.iloc[i] == suggest_tokens_py(text), repr(text)
+
+
+def test_suggest_vectorized_matches_scalar_on_testdata():
+    import duckdb
+    from es_indexer_spark.analysis import suggest_tokens_py
+
+    texts = duckdb.sql(
+        "select text from parquet_scan('/root/testdata/sf0.001/documents.parquet')"
+    ).df()["text"]
+    got = suggest_tokens_series(texts)
+    for i in range(len(texts)):
+        assert got.iloc[i] == suggest_tokens_py(texts.iloc[i]), i
