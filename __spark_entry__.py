@@ -307,6 +307,14 @@ _BBOX_EXPRS = [
 ]
 
 
+def _rel_wide_mapping(spark, sf_dir):
+    """P1: the wide mapping projection — ~25 computed index-document
+    columns in one select (StacCollectionMapperService.java:40-71)."""
+    from es_indexer_spark.ops import mapper
+
+    return mapper.map_to_index_document(_t(spark, sf_dir, "documents"))
+
+
 def _rel_bbox_union(spark, sf_dir):
     """A6: bounding-box expand-union with antimeridian shift
     (StacUtils.java:47-126) as a pure column-expression aggregate."""
@@ -462,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_lineitem_pricing": _rel_lineitem_pricing,
         "rel_date_widening": _rel_date_widening,
         "rel_bbox_union": _rel_bbox_union,
+        "rel_wide_mapping": _rel_wide_mapping,
         # training-pipeline ops
         "tp_token_counts": _tp_token_counts,
         "tp_language_id": _tp_language_id,
@@ -478,7 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from es_indexer_spark.ops import dedup, textstats
+    from es_indexer_spark.ops import dedup, mapper, textstats
 
     return {
         "ft_bm25_topk": _sql_bm25_topk(),
@@ -567,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
             from events
         """,
         "rel_bbox_union": _sql_bbox_union(),
+        "rel_wide_mapping": mapper.sql_index_document(),
         "tp_token_counts": textstats.sql_token_counts(),
         "tp_language_id": textstats.sql_language_id(),
         "tp_quality": textstats.sql_quality_features(),

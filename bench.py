@@ -63,6 +63,13 @@ def main() -> None:
     cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
 
+    timing_dir = None
+    if args.build_only:
+        # per-phase kernel CPU accounting (workers inherit the env through
+        # the JVM, so this must be set before the session starts)
+        timing_dir = tempfile.mkdtemp(prefix="bench_phase_")
+        os.environ["ES_IDX_PHASE_TIMING_DIR"] = timing_dir
+
     from es_indexer_spark import get_spark
     from es_indexer_spark.corpus import documents_as_transcripts, synth_transcripts
     from es_indexer_spark.index.build import build_index
@@ -103,6 +110,34 @@ def main() -> None:
         "compression_ratio": res.metrics.get("compression_ratio"),
         "cores": cores,
     }
+
+    if args.build_only:
+        # per-STAGE wall time from the build's own checkpoints...
+        ck = os.path.join(res.version_dir, "checkpoints")
+
+        def _ck(name):
+            with open(os.path.join(ck, name)) as f:
+                return json.load(f)
+
+        batches = sorted(n for n in os.listdir(ck) if n.startswith("batch_"))
+        ds = _ck("doc_stats.json")
+        out["stages"] = {
+            "ordinals_s": ds.get("ordinals_s"),
+            "doc_stats_s": ds["wall_s"],
+            "postings_s": round(sum(_ck(b)["wall_s"] for b in batches), 3),
+            "term_stats_s": _ck("term_stats.json").get("wall_s"),
+        }
+        # ...and per-PHASE kernel wall + true-CPU seconds from the workers
+        wall: dict[str, float] = {}
+        cpu: dict[str, float] = {}
+        for fn in os.listdir(timing_dir):
+            with open(os.path.join(timing_dir, fn)) as f:
+                for line in f:
+                    phase, w, c, _rows = line.strip().split(",")
+                    wall[phase] = wall.get(phase, 0.0) + float(w)
+                    cpu[phase] = cpu.get(phase, 0.0) + float(c)
+        out["phase_wall_s"] = {k: round(v, 2) for k, v in sorted(wall.items())}
+        out["phase_cpu_s"] = {k: round(v, 2) for k, v in sorted(cpu.items())}
 
     if not args.build_only:
         # ---- 2. query latency suite ---------------------------------------

@@ -225,6 +225,32 @@ def encode_grouped(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFr
     return pd.DataFrame(out)[out_cols]
 
 
+def _phase_timer(phase: str):
+    """Optional per-phase kernel timing (ES_IDX_PHASE_TIMING_DIR): each
+    task appends one '<phase>,<wall_s>,<cpu_s>,<rows>' line on completion.
+    Wall (perf_counter) inflates when the host deschedules the worker;
+    process CPU (process_time) counts only cycles actually burned — the
+    pair separates "kernels don't scale" from "the box was oversubscribed"
+    in scaling_run.py's breakdown."""
+    tdir = os.environ.get("ES_IDX_PHASE_TIMING_DIR")
+
+    class _T:
+        acc = 0.0  # wall seconds inside the kernel
+        cpu0 = time.process_time()
+        rows = 0
+
+        def flush(self):
+            if tdir and self.rows:
+                import tempfile as _tf
+
+                cpu = time.process_time() - self.cpu0
+                fd, _ = _tf.mkstemp(prefix=f"{phase}_", suffix=".csv", dir=tdir)
+                with os.fdopen(fd, "w") as f:
+                    f.write(f"{phase},{self.acc:.6f},{cpu:.6f},{self.rows}\n")
+
+    return _T()
+
+
 def _tokenize_encode(
     docs: DataFrame, n_docs: int, n_segments: int, n_buckets: int,
     with_positions: bool, analyzer: str = "index",
@@ -237,10 +263,13 @@ def _tokenize_encode(
     grouped_cols = [f.name for f in _grouped_schema(with_positions).fields]
 
     def gen(batches):
+        tm = _phase_timer("tokenize_encode")
         for pdf in batches:
+            _t0 = time.perf_counter()
             g = term_freqs_batch(pdf["text"], with_positions=with_positions,
                                  analyzer=analyzer)
             if len(g) == 0:
+                tm.acc += time.perf_counter() - _t0
                 continue
             ords = pdf["doc_ord"].to_numpy(np.int64)[g["row"].to_numpy(np.int64)]
             segs = np.minimum(ords * n_segments // n_docs, n_segments - 1).astype(np.int32)
@@ -269,7 +298,11 @@ def _tokenize_encode(
                 pos_flat = np.concatenate(plists).astype(np.int32)
                 val_off = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
                 out["positions"] = np.split(pos_flat, val_off[split])
-            yield encode_grouped(pd.DataFrame(out)[grouped_cols], with_positions)
+            res = encode_grouped(pd.DataFrame(out)[grouped_cols], with_positions)
+            tm.acc += time.perf_counter() - _t0
+            tm.rows += len(pdf)
+            yield res
+        tm.flush()
 
     return docs.select("doc_ord", "text").mapInPandas(gen, schema)
 
@@ -316,6 +349,17 @@ def merge_chunks(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFram
     return pd.DataFrame(out)[out_cols]
 
 
+def _timed_merge(it, with_positions: bool):
+    tm = _phase_timer("merge_chunks")
+    for pdf in it:
+        _t0 = time.perf_counter()
+        res = merge_chunks(pdf, with_positions)
+        tm.acc += time.perf_counter() - _t0
+        tm.rows += len(pdf)
+        yield res
+    tm.flush()
+
+
 @dataclass
 class BuildResult:
     version_dir: str
@@ -359,8 +403,10 @@ def build_index(
     ``input_sorted=True`` declares the input already globally ordered by
     (conv_id, turn_idx) across partitions (the standard layout for this
     table), skipping the ordinal-assignment shuffle."""
+    t_ord = time.time()
     docs = assign_doc_ordinals(with_doc_ids(df), assume_sorted=input_sorted)
     n_docs = docs._total_count
+    ordinals_s = round(time.time() - t_ord, 3)  # counting pass + persist
     if n_segments is None:
         # ~1M docs per segment; always >=1. Segments are the skew-salt
         # ranges, the resume/lineage partitions, AND the shuffle-key
@@ -436,6 +482,7 @@ def build_index(
                 "total_tokens": total_tokens,
                 "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
                 "wall_s": round(time.time() - t0, 3),
+                "ordinals_s": ordinals_s,
             },
         )
     parent = getattr(docs, "_persisted_parent", None)
@@ -466,10 +513,7 @@ def build_index(
         enc = (
             pre.repartition(n_parts, "tbucket", "seg")
             .sortWithinPartitions("term", "seg", "min_doc")
-            .mapInPandas(
-                lambda it: (merge_chunks(pdf, with_positions) for pdf in it),
-                enc_schema,
-            )
+            .mapInPandas(lambda it: _timed_merge(it, with_positions), enc_schema)
         )
         batch_path = os.path.join(postings_root, f"batch={b}")
         enc.write.mode("overwrite").partitionBy("tbucket").parquet(batch_path)
@@ -523,6 +567,7 @@ def build_index(
     ts_ckpt = os.path.join(ckpt_dir, "term_stats.json")
     term_stats_path = os.path.join(vdir, "term_stats")
     if not (resume and os.path.exists(ts_ckpt)):
+        t0 = time.time()
         postings = spark.read.parquet(postings_root)
         (
             postings.groupBy("term")
@@ -541,7 +586,9 @@ def build_index(
         import pyarrow.dataset as _pads
 
         n_terms = _pads.dataset(term_stats_path).count_rows()
-        catalog.write_json(ts_ckpt, {"n_terms": n_terms})
+        catalog.write_json(
+            ts_ckpt, {"n_terms": n_terms, "wall_s": round(time.time() - t0, 3)}
+        )
 
     # ---- manifest + atomic publish ----------------------------------------
     postings_total = bytes_total = 0

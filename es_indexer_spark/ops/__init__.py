@@ -9,4 +9,4 @@ fingerprinting) and multimodal column plumbing. Everything is DataFrame
 ops + Arrow-vectorized kernels — no per-row Python.
 """
 
-from . import dedup, multimodal, similarity, textstats  # noqa: F401
+from . import dedup, mapper, multimodal, similarity, textstats  # noqa: F401

@@ -14,19 +14,25 @@ parquet index that ``index.build`` writes:
          exhaustive referee path), deterministic (score desc, doc_ord asc)
 - Q9     ``_analyze``                            → ``analysis.analyze``
 
-Two execution paths:
+Two execution paths with FULL feature parity (pytest rank-identity):
 
-- **driver path** (default): posting chunks for the query terms are read
-  straight through pyarrow.dataset with partition (tbucket) + row-group
-  (term — files are term-sorted) pruning, no Spark job — millisecond
-  latency, the analogue of ES answering a query from one coordinating
-  node. Valid while the per-query working set (a few terms' postings)
-  fits the driver; norms are memory-mapped per corpus.
-- **distributed path** (``search_df``): posting rows for the query terms
-  are cogrouped with doc_stats by segment; each Spark task runs the same
-  numpy kernel over its segment (= shard) and emits a local top-k; a
-  global sort of the tiny union gathers the final top-k — Lucene's
-  shard fan-out/merge mapped 1:1 onto Spark partitions.
+- **driver path** (default below ``driver_max_docs``): posting chunks for
+  the query terms are read straight through pyarrow.dataset with
+  partition (tbucket) + row-group (term — files are term-sorted)
+  pruning, no Spark job — millisecond latency, the analogue of ES
+  answering a query from one coordinating node. Valid while per-corpus
+  norms fit the driver.
+- **distributed path** (``search_df`` / ``count_df`` /
+  ``phrase_search_df`` / ``suggest_df`` / ``scores_df``): posting rows
+  for the query terms are cogrouped with doc_stats by segment; each Spark
+  task runs the same numpy kernel over its segment (= shard) and emits a
+  local top-k; a global sort of the tiny union gathers the final top-k —
+  Lucene's shard fan-out/merge mapped 1:1 onto Spark partitions. Synonym
+  expansion, term/role/tool boosts, phrase adjacency, counts and suggest
+  expansions (pruned Spark filters over term_stats) all run here with NO
+  O(corpus) or O(dictionary) driver state, so every operator exists at
+  10^9+ docs. The public ``search``/``count``/``phrase_search``/
+  ``suggest`` auto-dispatch between paths on corpus size.
 """
 
 from __future__ import annotations
@@ -601,6 +607,61 @@ class IndexSearcher:
             "doc_ord",
         ).select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score").orderBy(
             F.desc("score"), F.asc("doc_ord")
+        )
+
+    def scores_df(
+        self,
+        query: str | list[str],
+        *,
+        term_boosts: dict[str, float] | None = None,
+        expand_synonyms: bool = False,
+    ) -> DataFrame:
+        """FULL matching-doc score vector (doc_ord, score) — no top-k cut.
+        The distributed building block for multi-field merges, where
+        per-field vectors must sum BEFORE any heap (a doc mid-rank in every
+        field can be top overall). Output size is bounded by the docs
+        matching the query terms, partitioned by segment."""
+        terms = self.analyze_query(query, expand_synonyms)
+        uniq_terms = sorted(set(terms))
+        dfs = self._global_dfs(uniq_terms)
+        if not uniq_terms or all(dfs[t] == 0 for t in uniq_terms):
+            return self.spark.createDataFrame([], "doc_ord long, score double")
+        postings = self._postings_df(uniq_terms)
+        doc_side = self.doc_stats_df().select("seg", "doc_ord", "dl")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        qb = term_boosts or {}
+        tombstones = self.tombstones
+
+        def score_seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
+            if len(pq) == 0 or len(dq) == 0:
+                return pd.DataFrame({"doc_ord": [], "score": []})
+            dq = dq.sort_values("doc_ord")
+            base = int(dq["doc_ord"].iloc[0])
+            dl_of = dq["dl"].to_numpy(np.int64)
+            pq = pq.sort_values(["term", "seg", "min_doc"])
+            views = [
+                scoring.TermView(
+                    t, pq[pq["term"] == t], dfs[t], n_docs, boost=qb.get(t, 1.0)
+                )
+                for t in uniq_terms
+                if dfs[t] > 0
+            ]
+            docs, scores = scoring.exhaustive_topk(
+                views, dl_of, avgdl, k=len(dq), dl_base=base,
+                mode="or", deleted=tombstones,
+            )
+            return pd.DataFrame({"doc_ord": docs, "score": scores})
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_ord", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        return (
+            postings.groupBy("seg")
+            .cogroup(doc_side.groupBy("seg"))
+            .applyInPandas(lambda key, pq, dq: score_seg(pq, dq), out_schema)
         )
 
     def count_df(self, query: str | list[str], mode: str = "or") -> int:

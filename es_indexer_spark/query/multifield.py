@@ -149,3 +149,60 @@ class MultiFieldSearcher:
         """SAYT across fields — alias for ``bool_prefix`` (kept for API
         continuity with ``IndexSearcher.suggest``)."""
         return self.bool_prefix(query, k, fuzzy=fuzzy)
+
+    # ------------------------------------------------------ distributed path
+    def bool_prefix_df(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        fuzzy: bool = True,
+        tier_boosts: tuple[float, float, float] = TIER_BOOSTS,
+    ):
+        """``bool_prefix`` distributed end to end: expansions come from
+        Spark filters over each field's term_stats, every field emits its
+        FULL per-segment score vector (``IndexSearcher.scores_df``), and
+        the cross-field sum + top-k is plain DataFrame algebra — no
+        O(corpus|dictionary) driver state, any number of fields.
+
+        Scores can differ from the driver path by float re-association
+        (per-field partials summed by the aggregate instead of one fixed
+        interleave) — ranks identical except exact-tie permutations."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        base = self.fields[0][0]
+        toks = tokenize_py(query)
+        if not toks:
+            return base.search_df([], k)
+        parts = []
+        for searcher, fboost in self.fields:
+            terms: list[str] = []
+            for t in toks[:-1]:
+                terms.extend(searcher.expand_fuzzy_df(t) if fuzzy else [t])
+            terms.extend(searcher.expand_prefix_df(toks[-1]) or [toks[-1]])
+            terms = list(dict.fromkeys(terms))
+            tb = (
+                _tier_boosts(terms, tier_boosts)
+                if searcher.manifest.get("analyzer") == "suggest"
+                else None
+            )
+            parts.append(
+                searcher.scores_df(terms, term_boosts=tb)
+                .withColumn("score", F.col("score") * fboost)
+            )
+        agg = (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .groupBy("doc_ord")
+            .agg(F.sum("score").alias("score"))
+        )
+        top = agg.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+        return top.join(
+            base.doc_stats_df().select(
+                "doc_ord", "doc_id", "conv_id", "turn_idx", "role"
+            ),
+            "doc_ord",
+        ).select(
+            "doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score"
+        ).orderBy(F.desc("score"), F.asc("doc_ord"))

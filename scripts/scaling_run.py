@@ -1,16 +1,17 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence for the north rule: the same index-build
-job on the SAME input at two parallelism levels (local[N] and local[4N]
-— the sandbox stand-in for N vs 4N executors; no real cluster here), and
-the throughput ratio between them.
+job on the SAME input at several parallelism levels (local[N] ... — the
+sandbox stand-in for N vs 4N executors; no real cluster here), the
+throughput ratios between them, and a per-stage / per-kernel breakdown
+showing WHERE the curve bends.
 
 Each level runs in its own subprocess (own JVM) via ``bench.py
 --build-only --cores C`` so the measurements don't share a Spark context.
 The corpus is the deterministic seeded synthetic transcript corpus, which
 is parallelism-invariant by construction (per-conversation seeding), so
-both levels index byte-identical input.
+all levels index byte-identical input.
 
-Usage: python scripts/scaling_run.py [--n-convs 100000] [--base-cores 8]
+Usage: python scripts/scaling_run.py [--n-convs 400000] [--levels 8,16,32]
 Writes BENCH.md and prints the summary JSON.
 """
 
@@ -32,7 +33,7 @@ def run_level(cores: int, n_convs: int) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--build-only",
            "--cores", str(cores), "--sf-dir", "/root/testdata/sf0.001"]
     # pin the process tree to `cores` CPUs so the N-core level cannot
-    # borrow the other 3N cores for GC/IO/numpy threads — an honest
+    # borrow the other cores for GC/IO/numpy threads — an honest
     # emulation of an N-core executor group
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -53,56 +54,106 @@ def best_of(cores: int, n_convs: int, reps: int = 2) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=400_000)
-    ap.add_argument("--base-cores", type=int, default=8)
+    ap.add_argument("--levels", default="8,16,32")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
-    lo_c, hi_c = args.base_cores, args.base_cores * 4
+    levels = [int(c) for c in args.levels.split(",")]
 
-    lo = best_of(lo_c, args.n_convs, args.reps)
-    hi = best_of(hi_c, args.n_convs, args.reps)
+    results = {c: best_of(c, args.n_convs, args.reps) for c in levels}
+    lo_c, hi_c = levels[0], levels[-1]
+    lo, hi = results[lo_c], results[hi_c]
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_c / lo_c)
     summary = {
         "n_turns": hi["n_turns"],
-        f"throughput_local[{lo_c}]": lo["turns_per_sec"],
-        f"throughput_local[{hi_c}]": hi["turns_per_sec"],
+        **{f"throughput_local[{c}]": results[c]["turns_per_sec"] for c in levels},
         "speedup": round(hi["turns_per_sec"] / lo["turns_per_sec"], 3),
         "scaling_efficiency": round(eff, 3),
     }
+
+    # ---- per-level main table ------------------------------------------
+    rows = []
+    for c in levels:
+        r = results[c]
+        st = r.get("stages", {})
+        phw = r.get("phase_wall_s", {})
+        phc = r.get("phase_cpu_s", {})
+        rows.append(
+            f"| local[{c}] | {r['n_turns']} | {r['queries']['index_build']} "
+            f"| {r['turns_per_sec']} | {st.get('ordinals_s', '—')} "
+            f"| {st.get('doc_stats_s', '—')} "
+            f"| {st.get('postings_s', '—')} | {st.get('term_stats_s', '—')} "
+            f"| {phc.get('tokenize_encode', '—')} | {phw.get('tokenize_encode', '—')} |"
+        )
+    table = "\n".join(rows)
+
+    # ---- pairwise efficiencies -----------------------------------------
+    pair_rows = []
+    for a, b in zip(levels, levels[1:]):
+        sp = results[b]["turns_per_sec"] / results[a]["turns_per_sec"]
+        pair_rows.append(
+            f"| {a} → {b} | {sp:.3f}x | {sp / (b / a):.3f} |"
+        )
+    sp_full = hi["turns_per_sec"] / lo["turns_per_sec"]
+    pair_rows.append(f"| {lo_c} → {hi_c} | {sp_full:.3f}x | {eff:.3f} |")
+    pairs = "\n".join(pair_rows)
+
+    # ---- per-stage efficiency analysis ----------------------------------
+    def stage_eff(key):
+        try:
+            a = results[lo_c]["stages"][key]
+            b = results[hi_c]["stages"][key]
+            return f"{a}s → {b}s (speedup {a / b:.2f}x of {hi_c / lo_c:.0f}x ideal)"
+        except (KeyError, TypeError, ZeroDivisionError):
+            return "n/a"
+
+    def phase_vals(field, key):
+        vals = [results[c].get(field, {}).get(key) for c in levels]
+        return " / ".join("—" if v is None else f"{v:.0f}" for v in vals)
+
     md = f"""# BENCH — scaling evidence
 
 North-rule criterion: throughput scaling efficiency >=0.8 from N to 4N
 executors. No real cluster exists in this sandbox, so the same job runs
-at two parallelism levels on identical input (seeded synthetic corpus is
-parallelism-invariant): `local[{lo_c}]` vs `local[{hi_c}]`, own JVM each,
-best of {args.reps} runs per level (single-box results swing ±30% with
-page-cache/JIT warmth). Each level is CPU-pinned with `taskset` to exactly
-its core budget, so the N-core level cannot borrow idle cores for
+at {len(levels)} parallelism levels on identical input (seeded synthetic
+corpus is parallelism-invariant): {', '.join(f'`local[{c}]`' for c in levels)},
+own JVM each, best of {args.reps} runs per level (single-box results swing
+±30% with page-cache/JIT warmth). Each level is CPU-pinned with `taskset`
+to exactly its core budget, so a level cannot borrow idle cores for
 GC/IO/numpy threads.
 
-| level | turns indexed | build wall (s) | turns/sec |
-|---|---|---|---|
-| local[{lo_c}] | {lo["n_turns"]} | {lo["queries"]["index_build"]} | {lo["turns_per_sec"]} |
-| local[{hi_c}] | {hi["n_turns"]} | {hi["queries"]["index_build"]} | {hi["turns_per_sec"]} |
+| level | turns | build wall (s) | turns/sec | ordinals (s) | doc_stats (s) | postings (s) | term_stats (s) | tokenize+encode true-CPU (s) | tokenize+encode in-kernel wall (s) |
+|---|---|---|---|---|---|---|---|---|---|
+{table}
 
-**Speedup {lo_c}->{hi_c} cores: {summary["speedup"]}x -> scaling efficiency
-{summary["scaling_efficiency"]}** (criterion: >=0.8 on a real cluster).
+| cores | speedup | efficiency |
+|---|---|---|
+{pairs}
 
-Why single-box efficiency under-states cluster efficiency — measured on
-this machine (a Firecracker VM, one virtio disk, shared LLC/memory bus):
+**Headline: {lo_c}→{hi_c} cores speedup {summary['speedup']}x → scaling
+efficiency {summary['scaling_efficiency']}** (criterion: >=0.8 on a real
+cluster).
 
-- every byte of doc_stats + postings + shuffle goes through ONE disk at
-  both levels, so the IO fraction of the build is constant-time — on a
-  4N-executor cluster each executor group brings its own disks;
-- the tokenize/encode CPU kernels themselves run at 95-100% utilization
-  mid-build (measured via /proc/stat sampling) and string-heavy pandas
-  work saturates shared memory bandwidth well before 32 threads;
-- CPU-steal on the VM adds 2-5% noise.
+## Where the curve bends (per-stage)
 
-What DOES carry to a cluster: the shuffle is hash-partitioned by
-(term bucket, doc segment) with key cardinality n_buckets x n_segments
-(>= 256 at this corpus size) so no task slot idles on key collisions; the
-only driver-side state is one count per partition (ordinal prefix sums)
-and one k-row heap merge per query — nothing O(corpus) on the driver.
+- ordinal assignment (range shuffle + counting pass + persist): {stage_eff('ordinals_s')}
+- doc_stats (dl pass + parquet write): {stage_eff('doc_stats_s')}
+- postings (tokenize→encode map, shuffle, merge, write): {stage_eff('postings_s')}
+- term_stats (groupBy-term aggregate + sorted write): {stage_eff('term_stats_s')}
+
+Kernel totals summed over all tasks ({' / '.join(f'local[{c}]' for c in levels)}):
+
+- tokenize+encode true CPU (process_time): {phase_vals('phase_cpu_s', 'tokenize_encode')}
+- tokenize+encode in-kernel wall (perf_counter): {phase_vals('phase_wall_s', 'tokenize_encode')}
+- merge true CPU: {phase_vals('phase_cpu_s', 'merge_chunks')}
+
+Reading: TRUE CPU ~constant across levels ⇒ the Python kernels partition
+perfectly and burn the same cycles regardless of parallelism; any growth
+is memory-bandwidth stall cycles. IN-KERNEL WALL greatly exceeding true
+CPU at high core counts ⇒ workers are descheduled mid-kernel — host
+oversubscription, not the program. Stage WALL flat while kernel CPU is
+constant ⇒ that stage waits on the single shared disk at both levels.
+These are exactly the resources a real 4N-executor cluster multiplies
+(cores, memory channels, disks) but a single box shares.
 """
     md += """
 ## Hardware ceiling of this measurement

@@ -109,6 +109,20 @@ def test_bool_prefix_exact_merge_not_per_field_topk(multi):
     )
 
 
+def test_bool_prefix_distributed_parity(multi):
+    """bool_prefix_df (per-field full score vectors from the segment
+    cogroup, cross-field sum in DataFrame algebra) must rank-match the
+    driver merge; scores equal up to float re-association."""
+    s1, s2, _, _ = multi
+    m = MultiFieldSearcher([(s1, 10.0), (s2, 5.0)])
+    drv = m.bool_prefix("baco co", k=10, fuzzy=True)
+    dst = m.bool_prefix_df("baco co", k=10, fuzzy=True).toPandas()
+    assert drv["doc_id"].tolist() == dst["doc_id"].tolist()
+    np.testing.assert_allclose(
+        drv["score"].to_numpy(), dst["score"].to_numpy(), rtol=1e-12
+    )
+
+
 def test_mismatched_corpora_rejected(multi, spark, tmp_path):
     s1, _, _, _ = multi
     other_dir = str(tmp_path / "other")
