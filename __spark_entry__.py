@@ -396,7 +396,9 @@ def _tp_minhash_pairs(spark, sf_dir):
 def _tp_simhash_pairs(spark, sf_dir):
     from es_indexer_spark.ops import dedup
 
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 _Q_VEC = None
@@ -435,6 +437,19 @@ def _tp_ivf_topk(spark, sf_dir):
 
     return similarity.ivf_ann_topk(
         _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def _tp_ivf_exhaustive(spark, sf_dir):
+    """IVF with nprobe == n_centroids probes every inverted list, so the
+    result MUST equal the exact cosine top-k — an oracle-checked proof
+    that the IVF assign/probe/re-rank machinery is exact and the only
+    approximation is list pruning."""
+    from es_indexer_spark.ops import similarity
+
+    return similarity.ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
+        k=10, n_centroids=16, nprobe=16,
     )
 
 
@@ -479,10 +494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_exact_dups": _tp_exact_dups,
         "tp_jaccard_pairs": _tp_jaccard_pairs,
         "tp_minhash_pairs": _tp_minhash_pairs,  # rows-only (LSH candidates)
-        "tp_simhash_pairs": _tp_simhash_pairs,  # rows-only (hash blocking)
+        "tp_simhash_pairs": _tp_simhash_pairs,
         "tp_cosine_topk": _tp_cosine_topk,
         "tp_ann_topk": _tp_ann_topk,  # rows-only (approximate)
         "tp_ivf_topk": _tp_ivf_topk,  # rows-only (approximate)
+        "tp_ivf_exhaustive": _tp_ivf_exhaustive,
     }
 
 
@@ -583,9 +599,12 @@ def oracle_sql() -> dict[str, str]:
         "tp_fingerprint": textstats.sql_content_fingerprint(),
         "tp_exact_dups": dedup.sql_exact_duplicates(),
         "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5, max_df=100),
+        "tp_simhash_pairs": dedup.sql_simhash_pairs(max_hamming=3),
         "tp_cosine_topk": _sql_cosine(),
-        # rows-only (intentionally no oracle): tp_minhash_pairs,
-        # tp_simhash_pairs, tp_ann_topk, tp_ivf_topk
+        "tp_ivf_exhaustive": _sql_cosine(),
+        # rows-only (intentionally no oracle): tp_minhash_pairs (LSH
+        # recall is probabilistic), tp_ann_topk / tp_ivf_topk (approximate
+        # by design; tp_ivf_exhaustive proves the machinery exact)
     }
 
 

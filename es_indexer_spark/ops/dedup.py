@@ -369,6 +369,48 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return toks_df.mapInPandas(gen, out_schema)
 
 
+def sql_simhash_pairs(table: str = "documents", max_hamming: int = 3) -> str:
+    """DuckDB oracle for ``simhash_pairs``: because pigeonhole banding is
+    COMPLETE (any pair within the Hamming budget shares >=1 exact band) and
+    candidates are verified with an exact popcount, the operator's output
+    equals ALL pairs with hamming <= budget — which SQL can state directly
+    (the banding is a pruning strategy, not a semantic). Reproduces the
+    md5-based token hash (first 8 digest bytes, little-endian) and the
+    tf-weighted bit votes bit-for-bit."""
+    # little-endian uint64 of the first 8 md5 digest bytes
+    le = " || ".join(f"substr(m, {15 - 2 * i}, 2)" for i in range(8))
+    return f"""
+with tok as (
+  select doc_id, unnest({SQL_TOKENS}) as t from {table}
+), tf as (
+  select doc_id, t, count(*)::bigint as tf from tok group by 1, 2
+), h as (
+  select doc_id, tf, ('0x' || {le})::ubigint as h64
+  from (select doc_id, tf, md5(t) as m from tf)
+), votes as (
+  select doc_id, b.bit,
+         sum(tf * ((((h64 >> b.bit) & 1)::bigint) * 2 - 1)) as v
+  from h cross join (select unnest(range(0, 64)) as bit) b
+  group by 1, 2
+), fpu as (
+  select doc_id,
+         sum(case when v > 0 then (1::ubigint << bit::int) else 0::ubigint end)
+           ::ubigint as u
+  from votes group by 1
+), fp as (
+  select d.doc_id,
+         coalesce((u::hugeint - case when u >= 9223372036854775808::hugeint
+                                     then 18446744073709551616::hugeint
+                                     else 0::hugeint end)::bigint, 0) as f
+  from {table} d left join fpu on d.doc_id = fpu.doc_id
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       bit_count(xor(a.f, b.f))::int as hamming
+from fp a join fp b on a.doc_id < b.doc_id
+where bit_count(xor(a.f, b.f)) <= {max_hamming}
+"""
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Pairs within Hamming distance <= max_hamming, found by pigeonhole
     banding ((max_hamming+1) 16-bit bands → equi-join) + exact popcount

@@ -1,0 +1,62 @@
+"""Plan-shape regression guards: the properties that make the engine scale
+must be visible in the optimized plan, not just asserted in prose —
+partition pruning to the term's tbucket directory, predicate pushdown into
+the parquet scan, and broadcast joins for small dimensions."""
+
+from __future__ import annotations
+
+import pytest
+
+from es_indexer_spark.corpus import synth_transcripts
+from es_indexer_spark.index.build import build_index, term_bucket
+from es_indexer_spark.query.engine import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("plan_idx"))
+    df = synth_transcripts(spark, 40, 5, seed=23)
+    build_index(spark, df, idx, n_buckets=8, n_segments=2)
+    return IndexSearcher(spark, idx)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term_filter(searcher):
+    df = searcher._postings_df(["baco"])
+    plan = _plan(df)
+    b = term_bucket("baco", searcher.n_buckets)
+    # partition pruning: only the term's tbucket directory is read
+    assert "PartitionFilters" in plan
+    assert f"tbucket#" in plan or f"[{b}]" in plan or f"({b})" in plan
+    # predicate pushdown: the term equality reaches the parquet reader
+    assert "PushedFilters" in plan and "baco" in plan
+
+
+def test_doc_stats_projection_prunes_columns(searcher):
+    df = searcher.doc_stats_df().select("doc_ord", "dl")
+    plan = _plan(df)
+    # ReadSchema carries only the projected columns, never text
+    rs = plan[plan.index("ReadSchema") :][:200]
+    assert "doc_ord" in rs and "dl" in rs and "text" not in rs
+
+
+def test_keyset_pagination_pushes_cursor_predicate(searcher):
+    df = searcher.scan_after(("conv00000010", 2), page_size=5)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "conv_id" in plan
+
+
+def test_term_stats_prefix_scan_pushes_startswith(searcher):
+    td = searcher._term_stats_sdf()
+    plan = _plan(td.filter(td["term"].startswith("ba")))
+    assert "StringStartsWith" in plan or "StartsWith" in plan
+
+
+def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["rel_broadcast_dim_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
