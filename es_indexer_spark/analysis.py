@@ -247,10 +247,16 @@ tokenize_udf = F.pandas_udf(tokenize_series, T.ArrayType(T.StringType()))
 suggest_tokens_udf = F.pandas_udf(suggest_tokens_series, T.ArrayType(T.StringType()))
 
 
+def doc_lengths(texts: pd.Series) -> pd.Series:
+    """Token count per document (dl for BM25 norms) WITHOUT materializing
+    token lists: str.count of the token regex on the lowered text equals
+    len(tokenize_series(...)) by construction (~1.6x faster)."""
+    return texts.fillna("").str.lower().str.count(TOKEN_RE).astype(np.int32)
+
+
 @F.pandas_udf(T.IntegerType())
 def doc_length_udf(texts: pd.Series) -> pd.Series:
-    """Token count per document (dl for BM25 norms)."""
-    return tokenize_series(texts).map(len).astype(np.int32)
+    return doc_lengths(texts)
 
 
 # --------------------------------------------------------------------------
@@ -268,7 +274,9 @@ def term_freqs_batch(
     map-side-combine that keeps shuffle volume sane at 10^12 turns.
 
     Returns a DataFrame with columns (row <int64 local row index>,
-    term, tf <int32>, dl <int32>[, positions list[int32]]).
+    term, tcode <int64 batch-local term code — lets callers sort/group on
+    integers instead of strings>, tf <int32>, dl <int32>
+    [, positions list[int32]]).
     """
     tok_lists = (
         tokenize_series(texts) if analyzer == "index" else suggest_tokens_series(texts)
@@ -293,20 +301,24 @@ def term_freqs_batch(
         skey, spos = key[order], pos[order]
         uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
         split = np.cumsum(counts)[:-1]
+        tcode = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
         g = pd.DataFrame(
             {
                 "row": (uk >> np.int64(32)).astype(np.int64),
-                "term": uniq_terms[(uk & np.int64(0xFFFFFFFF)).astype(np.int64)],
+                "term": uniq_terms[tcode],
+                "tcode": tcode,
                 "tf": counts.astype(np.int32),
                 "positions": np.split(spos, split),
             }
         )
     else:
         uk, counts = np.unique(key, return_counts=True)
+        tcode = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
         g = pd.DataFrame(
             {
                 "row": (uk >> np.int64(32)).astype(np.int64),
-                "term": uniq_terms[(uk & np.int64(0xFFFFFFFF)).astype(np.int64)],
+                "term": uniq_terms[tcode],
+                "tcode": tcode,
                 "tf": counts.astype(np.int32),
             }
         )

@@ -67,22 +67,6 @@ from ..corpus import assign_doc_ordinals, with_doc_ids
 from . import catalog
 
 
-def _grouped_schema(with_positions: bool) -> T.StructType:
-    fields = [
-        T.StructField("term", T.StringType(), False),
-        T.StructField("seg", T.IntegerType(), False),
-        T.StructField("tbucket", T.IntegerType(), False),
-        T.StructField("min_doc", T.LongType(), False),
-        T.StructField("doc_ords", T.ArrayType(T.LongType()), False),
-        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
-        T.StructField("dls", T.ArrayType(T.IntegerType()), False),
-    ]
-    if with_positions:
-        # flattened positions in doc order; per-doc counts = tfs
-        fields.append(T.StructField("positions", T.ArrayType(T.IntegerType()), False))
-    return T.StructType(fields)
-
-
 def _enc_schema(with_positions: bool) -> T.StructType:
     fields = [
         T.StructField("tbucket", T.IntegerType(), False),
@@ -144,29 +128,28 @@ def _encode_positions_flat(
     return out, out_doc_starts
 
 
-def encode_grouped(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFrame:
-    """Vectorized encode of one Arrow batch of GROUPED rows, pre-sorted by
-    (term, seg, min_doc). Emits one posting-chunk row per (term, seg) run
-    in the batch. A run that spans Arrow batches yields several chunk rows
-    with disjoint ordered doc ranges — readers concatenate chunks sorted
-    by (seg, min_doc), so batch splits are harmless."""
+def encode_flat(
+    terms_g: np.ndarray,
+    segs_g: np.ndarray,
+    tbuckets_g: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    gstarts: np.ndarray,
+    with_positions: bool = False,
+    pos_flat: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Vectorized encode of FLAT posting arrays pre-sorted by
+    (term, seg, doc): ``gstarts`` marks the first value of each
+    (term, seg) group, ``terms_g``/``segs_g``/``tbuckets_g`` are the
+    per-group identities. Emits one posting-chunk row per group. A group
+    that spans Arrow batches yields several chunk rows with disjoint
+    ordered doc ranges — readers concatenate chunks sorted by
+    (seg, min_doc), so batch splits are harmless."""
     out_cols = [f.name for f in _enc_schema(with_positions).fields]
-    nrows = len(pdf)
-    if nrows == 0:
-        return pd.DataFrame({c: [] for c in out_cols})
-    r_terms = pdf["term"].to_numpy(object)
-    r_segs = pdf["seg"].to_numpy(np.int32)
-    r_lens = pdf["doc_ords"].map(len).to_numpy(np.int64)
-    docs = np.concatenate(pdf["doc_ords"].to_numpy()).astype(np.int64)
-    tfs = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
-    dls = np.concatenate(pdf["dls"].to_numpy()).astype(np.int64)
     n = len(docs)
-
-    new_row_group = np.ones(nrows, dtype=bool)
-    new_row_group[1:] = (r_terms[1:] != r_terms[:-1]) | (r_segs[1:] != r_segs[:-1])
-    grow = np.flatnonzero(new_row_group)  # first ROW of each group
-    val_off = np.concatenate(([0], np.cumsum(r_lens)))
-    gstarts = val_off[grow]  # first VALUE of each group
+    if n == 0:
+        return pd.DataFrame({c: [] for c in out_cols})
     gends = np.append(gstarts[1:], n)
     glens = gends - gstarts
 
@@ -194,13 +177,13 @@ def encode_grouped(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFr
     bsplit = np.cumsum(nblocks)[:-1]
 
     out = {
-        "tbucket": pdf["tbucket"].to_numpy(np.int32)[grow],
-        "term": r_terms[grow],
-        "seg": r_segs[grow],
+        "tbucket": tbuckets_g,
+        "term": terms_g,
+        "seg": segs_g,
         "min_doc": docs[gstarts],
         "max_doc": docs[gends - 1],
         "df_chunk": glens.astype(np.int64),
-        "sum_tf": np.add.reduceat(tfs, gstarts).astype(np.int64),
+        "sum_tf": np.add.reduceat(tfs.astype(np.int64), gstarts),
         "doc_bytes": [bytes(doc_buf[o : o + l]) for o, l in zip(doc_off, doc_gb)],
         "tf_bytes": [bytes(tf_buf[o : o + l]) for o, l in zip(tf_off, tf_gb)],
         "block_last": np.split(blk_last, bsplit),
@@ -209,8 +192,9 @@ def encode_grouped(pdf: pd.DataFrame, with_positions: bool = False) -> pd.DataFr
         "run_lens": [np.array([l], dtype=np.int64) for l in glens],
     }
     if with_positions:
-        pos_flat = np.concatenate(pdf["positions"].to_numpy()).astype(np.int64)
-        stream, out_doc_starts = _encode_positions_flat(pos_flat, tfs)
+        stream, out_doc_starts = _encode_positions_flat(
+            pos_flat.astype(np.int64), tfs.astype(np.int64)
+        )
         p_nb = codec.varint_nbytes(stream)
         p_buf = codec.varint_encode(stream)
         # group g covers docs [gstarts[g], gends[g]) → stream slice between
@@ -260,7 +244,6 @@ def _tokenize_encode(
     arrays (~4-5x fewer bytes and far cheaper JVM↔Arrow serde), and the
     reduce side merges sub-runs by byte concatenation — no re-encode."""
     schema = _enc_schema(with_positions)
-    grouped_cols = [f.name for f in _grouped_schema(with_positions).fields]
 
     def gen(batches):
         tm = _phase_timer("tokenize_encode")
@@ -273,32 +256,28 @@ def _tokenize_encode(
                 continue
             ords = pdf["doc_ord"].to_numpy(np.int64)[g["row"].to_numpy(np.int64)]
             segs = np.minimum(ords * n_segments // n_docs, n_segments - 1).astype(np.int32)
-            order = np.lexsort((ords, segs, g["term"].to_numpy(object)))
-            terms = g["term"].to_numpy(object)[order]
-            ords, segs = ords[order], segs[order]
+            # sort/group on batch-local integer term codes, not strings —
+            # group identity is all the encoder needs, and the downstream
+            # shuffle re-sorts by term string anyway
+            tcodes = g["tcode"].to_numpy(np.int64)
+            order = np.lexsort((ords, segs, tcodes))
+            tcodes, segs, ords = tcodes[order], segs[order], ords[order]
             tfs = g["tf"].to_numpy(np.int32)[order]
             dls = g["dl"].to_numpy(np.int32)[order]
-            new_g = np.ones(len(terms), dtype=bool)
-            new_g[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
-            starts = np.flatnonzero(new_g)
-            split = starts[1:]
-            ut = terms[starts]
-            lut = {t: term_bucket(t, n_buckets) for t in dict.fromkeys(ut)}
-            out = {
-                "term": ut,
-                "seg": segs[starts],
-                "tbucket": pd.Series(ut).map(lut).to_numpy(np.int32),
-                "min_doc": ords[starts],
-                "doc_ords": np.split(ords, split),
-                "tfs": np.split(tfs, split),
-                "dls": np.split(dls, split),
-            }
+            new_g = np.ones(len(tcodes), dtype=bool)
+            new_g[1:] = (tcodes[1:] != tcodes[:-1]) | (segs[1:] != segs[:-1])
+            gstarts = np.flatnonzero(new_g)
+            terms_g = g["term"].to_numpy(object)[order[gstarts]]
+            lut = {t: term_bucket(t, n_buckets) for t in dict.fromkeys(terms_g)}
+            tbuckets_g = pd.Series(terms_g).map(lut).to_numpy(np.int32)
+            pos_flat = None
             if with_positions:
                 plists = g["positions"].to_numpy(object)[order]
-                pos_flat = np.concatenate(plists).astype(np.int32)
-                val_off = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-                out["positions"] = np.split(pos_flat, val_off[split])
-            res = encode_grouped(pd.DataFrame(out)[grouped_cols], with_positions)
+                pos_flat = np.concatenate(plists).astype(np.int64)
+            res = encode_flat(
+                terms_g, segs[gstarts], tbuckets_g, ords, tfs, dls, gstarts,
+                with_positions, pos_flat,
+            )
             tm.acc += time.perf_counter() - _t0
             tm.rows += len(pdf)
             yield res
@@ -435,14 +414,12 @@ def build_index(
     sc = spark.sparkContext
     n_parts = max(sc.defaultParallelism, min(n_segments, 1024))
     if not (resume and os.path.exists(ds_ckpt)):
-        from ..analysis import suggest_tokens_series, tokenize_series
+        from ..analysis import doc_lengths, suggest_tokens_series
 
         def _dl(texts):
-            lists = (
-                tokenize_series(texts) if analyzer == "index"
-                else suggest_tokens_series(texts)
-            )
-            return lists.map(len).astype("int32")
+            if analyzer == "index":
+                return doc_lengths(texts)
+            return suggest_tokens_series(texts).map(len).astype("int32")
 
         dl_udf = F.pandas_udf(_dl, T.IntegerType())
         t0 = time.time()

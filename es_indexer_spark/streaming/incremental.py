@@ -63,7 +63,7 @@ def append_batch(
     ``IndexServiceImpl.java:167-221``)."""
     from pyspark.sql import types as T
 
-    from ..analysis import suggest_tokens_series, tokenize_series
+    from ..analysis import doc_lengths, suggest_tokens_series
     from ..corpus import with_doc_ids
 
     vdir = catalog.current_version_dir(index_dir)
@@ -78,11 +78,9 @@ def append_batch(
     analyzer = manifest.get("analyzer", "index")
 
     def _dl(texts):
-        lists = (
-            tokenize_series(texts) if analyzer == "index"
-            else suggest_tokens_series(texts)
-        )
-        return lists.map(len).astype("int32")
+        if analyzer == "index":
+            return doc_lengths(texts)
+        return suggest_tokens_series(texts).map(len).astype("int32")
 
     dl_udf = F.pandas_udf(_dl, T.IntegerType())
     postings_root = os.path.join(vdir, "postings")
