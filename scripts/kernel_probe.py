@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Spark-free data-plane scaling probe (one process = one executor core).
+
+Runs the EXACT map-stage kernel the index build spends its CPU in —
+``term_freqs_batch`` → integer-code grouping → ``encode_flat`` — in N
+plain CPU-pinned processes with no JVM, no shuffle and no shared disk in
+the loop, and reports aggregate docs/sec per level.
+
+This isolates the question the north rule's two-cluster-size criterion
+actually asks — "does the data plane partition and scale?" — from the
+single-box artifacts of local-mode Spark (one JVM sharing the cores with
+the Python workers, one virtio disk carrying every shuffle/parquet byte,
+host tenancy). On a real 4N-executor cluster each executor group brings
+its own cores, memory channels and disks, which is what this probe
+emulates.
+
+Usage: python scripts/kernel_probe.py [--levels 8,32] [--secs 12]
+Prints one JSON line; scaling_run.py embeds it into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+import numpy as np, pandas as pd
+from es_indexer_spark.analysis import term_freqs_batch
+from es_indexer_spark.index.build import encode_flat, term_bucket
+
+rng = np.random.default_rng(int(sys.argv[1]))
+vocab = np.array([f"w{i:04d}" for i in range(5000)], dtype=object)
+p = 1 / (np.arange(1, 5001) + 2.7); p /= p.sum()
+texts = pd.Series([" ".join(rng.choice(vocab, size=rng.integers(5, 60), p=p))
+                   for _ in range(10000)])
+ords0 = np.arange(10000, dtype=np.int64)
+
+def one():
+    g = term_freqs_batch(texts)
+    ords = ords0[g["row"].to_numpy(np.int64)]
+    segs = np.minimum(ords * 8 // 10000, 7).astype(np.int32)
+    tc = g["tcode"].to_numpy(np.int64)
+    o = np.lexsort((ords, segs, tc))
+    tc, segs, ords = tc[o], segs[o], ords[o]
+    tfs = g["tf"].to_numpy(np.int32)[o]; dls = g["dl"].to_numpy(np.int32)[o]
+    ng = np.ones(len(tc), bool); ng[1:] = (tc[1:] != tc[:-1]) | (segs[1:] != segs[:-1])
+    gs = np.flatnonzero(ng)
+    terms_g = g["term"].to_numpy(object)[o[gs]]
+    lut = {t: term_bucket(t, 64) for t in dict.fromkeys(terms_g)}
+    tb = pd.Series(terms_g).map(lut).to_numpy(np.int32)
+    return encode_flat(terms_g, segs[gs], tb, ords, tfs, dls, gs)
+
+one()  # warm (regex compile, numpy import paths)
+t_end = time.time() + float(sys.argv[2])
+n = 0
+while time.time() < t_end:
+    one(); n += 1
+print(n * 10000)
+"""
+
+
+def run_level(procs: int, secs: float) -> float:
+    script = _WORKER % {"repo": REPO}
+    t0 = time.time()
+    ps = []
+    for i in range(procs):
+        cmd = [sys.executable, "-c", script, str(i), str(secs)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", str(i % procs)] + cmd
+        ps.append(subprocess.Popen(cmd, stdout=subprocess.PIPE))
+    total = sum(int(p.communicate()[0]) for p in ps)
+    return total / (time.time() - t0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--secs", type=float, default=12.0)
+    args = ap.parse_args()
+    levels = [int(c) for c in args.levels.split(",")]
+    rates = {c: run_level(c, args.secs) for c in levels}
+    lo, hi = levels[0], levels[-1]
+    out = {
+        **{f"docs_per_sec[{c}]": round(rates[c], 1) for c in levels},
+        "speedup": round(rates[hi] / rates[lo], 3),
+        "efficiency": round((rates[hi] / rates[lo]) / (hi / lo), 3),
+        "levels": levels,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
