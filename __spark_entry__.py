@@ -416,6 +416,27 @@ def _query_vec(spark, sf_dir):
     return _Q_VEC
 
 
+def _tp_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact all-pairs path
+    (threshold tuned so the synthetic corpus yields a non-trivial set)."""
+    from es_indexer_spark.ops import similarity
+
+    return similarity.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, method="exact"
+    )
+
+
+def _tp_embedding_dups_lsh(spark, sf_dir):
+    """LSH-bucketed variant (rows-only: recall is the multi-table
+    S-curve; precision exact — every emitted pair passed the cosine
+    verify, which pytest asserts is a subset of the exact pairs)."""
+    from es_indexer_spark.ops import similarity
+
+    return similarity.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, method="lsh"
+    )
+
+
 def _tp_cosine_topk(spark, sf_dir):
     from es_indexer_spark.ops import similarity
 
@@ -495,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_jaccard_pairs": _tp_jaccard_pairs,
         "tp_minhash_pairs": _tp_minhash_pairs,  # rows-only (LSH candidates)
         "tp_simhash_pairs": _tp_simhash_pairs,
+        "tp_embedding_dups": _tp_embedding_dups,
+        "tp_embedding_dups_lsh": _tp_embedding_dups_lsh,  # rows-only
         "tp_cosine_topk": _tp_cosine_topk,
         "tp_ann_topk": _tp_ann_topk,  # rows-only (approximate)
         "tp_ivf_topk": _tp_ivf_topk,  # rows-only (approximate)
@@ -503,7 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from es_indexer_spark.ops import dedup, mapper, textstats
+    from es_indexer_spark.ops import dedup, mapper, similarity, textstats
 
     return {
         "ft_bm25_topk": _sql_bm25_topk(),
@@ -600,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "tp_exact_dups": dedup.sql_exact_duplicates(),
         "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5, max_df=100),
         "tp_simhash_pairs": dedup.sql_simhash_pairs(max_hamming=3),
+        "tp_embedding_dups": similarity.sql_embedding_dup_pairs(threshold=0.4),
         "tp_cosine_topk": _sql_cosine(),
         "tp_ivf_exhaustive": _sql_cosine(),
         # rows-only (intentionally no oracle): tp_minhash_pairs (LSH

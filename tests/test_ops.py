@@ -149,6 +149,30 @@ def test_simhash_pairs(docs):
                 assert sh[list(ids)].nunique() == 1
 
 
+def test_embedding_dup_pairs_exact_matches_sql(emb):
+    got = _cmp(
+        similarity.embedding_dup_pairs(emb, threshold=0.4, method="exact"),
+        similarity.sql_embedding_dup_pairs(threshold=0.4),
+        ["id_a", "id_b"],
+    )
+    assert len(got) > 0  # threshold chosen so the check is non-vacuous
+
+
+def test_embedding_dup_pairs_lsh_subset_of_exact(emb):
+    """LSH path: precision exact (every pair passed the cosine verify),
+    recall bounded by the multi-table S-curve — so LSH ⊆ exact, and with
+    generous tables the miss rate stays small."""
+    exact = similarity.embedding_dup_pairs(emb, threshold=0.4, method="exact").toPandas()
+    lsh = similarity.embedding_dup_pairs(
+        emb, threshold=0.4, method="lsh", n_tables=16, n_planes=6
+    ).toPandas()
+    e = set(map(tuple, exact[["id_a", "id_b"]].values))
+    l = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    assert l <= e
+    if e:
+        assert len(l) / len(e) >= 0.5  # recall floor for these parameters
+
+
 def test_cosine_topk_sql_vs_duckdb(emb):
     qv = emb.filter("vec_id = 0").toPandas()["embedding"].iloc[0]
     _cmp(
