@@ -350,6 +350,12 @@ def _tp_token_counts(spark, sf_dir):
     return textstats.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def _tp_bpe_token_counts(spark, sf_dir):
+    from es_indexer_spark.ops import textstats
+
+    return textstats.bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
 def _tp_language_id(spark, sf_dir):
     from es_indexer_spark.ops import textstats
 
@@ -509,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_wide_mapping": _rel_wide_mapping,
         # training-pipeline ops
         "tp_token_counts": _tp_token_counts,
+        "tp_bpe_token_counts": _tp_bpe_token_counts,
         "tp_language_id": _tp_language_id,
         "tp_quality": _tp_quality,
         "tp_fingerprint": _tp_fingerprint,
@@ -617,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_bbox_union": _sql_bbox_union(),
         "rel_wide_mapping": mapper.sql_index_document(),
         "tp_token_counts": textstats.sql_token_counts(),
+        "tp_bpe_token_counts": textstats.sql_bpe_token_counts(),
         "tp_language_id": textstats.sql_language_id(),
         "tp_quality": textstats.sql_quality_features(),
         "tp_fingerprint": textstats.sql_content_fingerprint(),

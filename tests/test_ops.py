@@ -52,6 +52,13 @@ def test_token_counts(docs):
     _cmp(textstats.token_counts(docs), textstats.sql_token_counts(), ["doc_id"])
 
 
+def test_bpe_token_counts(docs):
+    got = _cmp(
+        textstats.bpe_token_counts(docs), textstats.sql_bpe_token_counts(), ["doc_id"]
+    )
+    assert (got["n_pieces"] > 0).all()
+
+
 def test_language_id(docs):
     got = _cmp(textstats.language_id(docs), textstats.sql_language_id(), ["doc_id"])
     assert set(got["pred_lang"]) <= {"en", "es", "fr", "de", "und"}
