@@ -16,8 +16,14 @@ Query groups:
   A5, top-k sort Q8, keyset pagination Q4, distinct A3, set union §2.8)
   over the TPC-H-ish tables.
 - ``tp_*``  — training-pipeline ops (dedup, similarity, text analysis).
-- rows-only (no oracle entry): distributed BM25 top-k, MinHash-LSH,
-  SimHash, suggest — non-SQL-expressible paths.
+- rows-only (no oracle entry): MinHash-LSH pairs (recall is the banded
+  S-curve — probabilistic by design), LSH/IVF ANN top-k (approximate by
+  design; ``tp_ivf_exhaustive`` proves the machinery exact at full
+  probes), LSH embedding dups (subset-of-exact pytest-proven). Phrase
+  and suggest counts stay pytest-only (position-aware adjacency and
+  dictionary expansion are impractical to restate in one SQL statement;
+  COVERAGE.md notes this) — everything else, including the distributed
+  BM25 path and SimHash pairs, is DuckDB-oracle-checked.
 """
 
 from __future__ import annotations

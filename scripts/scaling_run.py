@@ -199,7 +199,7 @@ processes — no JVM sharing the cores, no shuffle, no shared disk
 | {hi_c} | {probe_hi:,.0f} |
 
 **Kernel speedup {probe['speedup']}x → efficiency {probe['efficiency']}
-in this window** (0.985 — near-perfect — was measured in the 19:0x window; history below).
+in this window** (0.985 — near-perfect — was measured in an earlier window today; history below).
 This is the number that transfers to a real cluster, where each executor
 group brings its own cores/memory/disks and the JVM does not time-share
 the Python workers' cores: the engine's data plane partitions perfectly —
