@@ -160,6 +160,12 @@ def main() -> None:
         out["query_p95_ms"] = round(float(np.percentile(lats_all, 95)) * 1000, 2)
 
         # ---- 3. distributed search ----------------------------------------
+        # cold = first query on a fresh searcher (pays the one-time
+        # doc-side cache build); warm = steady-state with the persisted
+        # seg-partitioned norms (the deployed serving shape)
+        t0 = time.time()
+        searcher.search_df(["spark", "merge", "join"], k=10).collect()
+        queries["q_distributed_topk_cold"] = round(time.time() - t0, 3)
         t0 = time.time()
         searcher.search_df(["spark", "merge", "join"], k=10).collect()
         queries["q_distributed_topk"] = round(time.time() - t0, 3)
