@@ -17,9 +17,11 @@ Query groups:
   over the TPC-H-ish tables.
 - ``tp_*``  — training-pipeline ops (dedup, similarity, text analysis).
 - rows-only (no oracle entry): MinHash-LSH pairs (recall is the banded
-  S-curve — probabilistic by design), LSH/IVF ANN top-k (approximate by
-  design; ``tp_ivf_exhaustive`` proves the machinery exact at full
-  probes), LSH embedding dups (subset-of-exact pytest-proven). Phrase
+  S-curve — probabilistic by design; precision IS oracle-checked via
+  ``tp_minhash_precision``), LSH/IVF ANN top-k (approximate by design;
+  ``tp_ann_exhaustive`` / ``tp_ivf_exhaustive`` prove both machineries
+  exact at full probes), LSH embedding dups (subset-of-exact
+  pytest-proven). Phrase
   and suggest counts stay pytest-only (position-aware adjacency and
   dictionary expansion are impractical to restate in one SQL statement;
   COVERAGE.md notes this) — everything else, including the distributed
@@ -405,6 +407,23 @@ def _tp_minhash_pairs(spark, sf_dir):
     )
 
 
+def _tp_minhash_precision(spark, sf_dir):
+    """PRECISION oracle for the MinHash-LSH path (recall stays rows-only —
+    it's the probabilistic banded S-curve by design): every emitted pair
+    must be a genuine >=threshold exact-Jaccard pair, stated as an
+    anti-join of the LSH output against the independently-computed exact
+    all-pairs set — 0 violations, hash-compared against the oracle's
+    constant 0. A single false positive flips the count and goes red."""
+    from es_indexer_spark.ops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=32)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    return lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").cast("long").alias("n_violations")
+    )
+
+
 def _tp_simhash_pairs(spark, sf_dir):
     from es_indexer_spark.ops import dedup
 
@@ -473,6 +492,20 @@ def _tp_ivf_topk(spark, sf_dir):
     )
 
 
+def _tp_ann_exhaustive(spark, sf_dir):
+    """LSH-ANN with n_planes=0: every vector lands in the single bucket of
+    the one table, so the candidate set is the whole corpus and the result
+    MUST equal the exact cosine top-k (full SQL oracle) — the LSH analogue
+    of tp_ivf_exhaustive: signature → bucket-join → re-rank machinery
+    proven exact, bucket pruning the only approximation."""
+    from es_indexer_spark.ops import similarity
+
+    return similarity.lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir),
+        k=10, n_tables=1, n_planes=0, multiprobe=0,
+    )
+
+
 def _tp_ivf_exhaustive(spark, sf_dir):
     """IVF with nprobe == n_centroids probes every inverted list, so the
     result MUST equal the exact cosine top-k — an oracle-checked proof
@@ -528,11 +561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_exact_dups": _tp_exact_dups,
         "tp_jaccard_pairs": _tp_jaccard_pairs,
         "tp_minhash_pairs": _tp_minhash_pairs,  # rows-only (LSH candidates)
+        "tp_minhash_precision": _tp_minhash_precision,
         "tp_simhash_pairs": _tp_simhash_pairs,
         "tp_embedding_dups": _tp_embedding_dups,
         "tp_embedding_dups_lsh": _tp_embedding_dups_lsh,  # rows-only
         "tp_cosine_topk": _tp_cosine_topk,
         "tp_ann_topk": _tp_ann_topk,  # rows-only (approximate)
+        "tp_ann_exhaustive": _tp_ann_exhaustive,
         "tp_ivf_topk": _tp_ivf_topk,  # rows-only (approximate)
         "tp_ivf_exhaustive": _tp_ivf_exhaustive,
     }
@@ -638,11 +673,19 @@ def oracle_sql() -> dict[str, str]:
         "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5, max_df=100),
         "tp_simhash_pairs": dedup.sql_simhash_pairs(max_hamming=3),
         "tp_embedding_dups": similarity.sql_embedding_dup_pairs(threshold=0.4),
+        # the LSH precision invariant (emitted ⊆ exact pairs) is computed
+        # Spark-side as an anti-join; the oracle states its required value —
+        # any false-positive pair flips the count and hash-mismatches
+        "tp_minhash_precision": "select 0::bigint as n_violations",
         "tp_cosine_topk": _sql_cosine(),
+        "tp_ann_exhaustive": _sql_cosine(),
         "tp_ivf_exhaustive": _sql_cosine(),
         # rows-only (intentionally no oracle): tp_minhash_pairs (LSH
-        # recall is probabilistic), tp_ann_topk / tp_ivf_topk (approximate
-        # by design; tp_ivf_exhaustive proves the machinery exact)
+        # recall is probabilistic — its PRECISION leg is oracle-checked via
+        # tp_minhash_precision), tp_ann_topk / tp_ivf_topk (approximate by
+        # design; tp_ann_exhaustive / tp_ivf_exhaustive prove both ANN
+        # machineries exact at full probes), tp_embedding_dups_lsh
+        # (subset-of-exact pytest-proven)
     }
 
 

@@ -329,6 +329,7 @@ class IndexSearcher:
         if self.n_docs > self.driver_max_docs:
             return self.phrase_search_df(phrase, k).toPandas()
         terms = tokenize_py(phrase) if isinstance(phrase, str) else list(phrase)
+        self._require_positions(terms)
         views = self._views(terms)
         if any(v.df == 0 for v in views):
             return self._materialize(np.zeros(0, np.int64), np.zeros(0, np.float64))
@@ -351,6 +352,19 @@ class IndexSearcher:
         keep = np.isin(docs, hits)
         docs, scores = docs[keep][:k], scores[keep][:k]
         return self._materialize(docs, scores)
+
+    def _require_positions(self, terms: list[str]) -> None:
+        """Multi-term phrase queries need positional postings; an index
+        built with the default ``with_positions=False`` (postings ~40%
+        smaller — see BENCH.md) cannot answer them. Fail loudly up front:
+        without this guard an empty AND-intersection would silently return
+        0 hits before the decoder ever noticed the missing pos_bytes."""
+        if len(terms) > 1 and not self.manifest.get("with_positions"):
+            raise ValueError(
+                "phrase queries need a positional index: this index was "
+                "built with with_positions=False; rebuild with "
+                "build_index(..., with_positions=True)"
+            )
 
     # ------------------------------------------------- dictionary expansion
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
@@ -538,6 +552,8 @@ class IndexSearcher:
         terms occur adjacently in order (match_phrase); requires a
         with_positions index. The adjacency test is segment-local because a
         doc lives in exactly one segment."""
+        if phrase_terms:
+            self._require_positions(phrase_terms)
         terms = self.analyze_query(query, expand_synonyms)
         uniq_terms = sorted(set(terms))
         dfs = self._global_dfs(uniq_terms)

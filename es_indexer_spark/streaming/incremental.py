@@ -242,8 +242,53 @@ def upsert_docs(spark: SparkSession, df: DataFrame, index_dir: str) -> dict:
     ``IndexerMetadataServiceImpl.java:429-435``)."""
     from ..corpus import with_doc_ids
 
+    # driver-side collect is bounded by the INCOMING upsert batch (the
+    # reference's single/small-batch upsert surface), never the index:
+    # distinct doc_ids of `df` only — O(batch), not O(corpus)
     ids = [r["doc_id"] for r in with_doc_ids(df).select("doc_id").distinct().collect()]
     deleted = delete_docs(spark, index_dir, ids)
     out = append_batch(spark, df, index_dir)
     out["tombstoned"] = deleted
     return out
+
+
+def rebuild_compacted(spark: SparkSession, index_dir: str, **build_kwargs) -> dict:
+    """Tombstone compaction: rebuild the index from LIVE docs only and
+    atomically publish the new version — the blue/green rebuild-and-swap
+    the reference performs for reindex-all
+    (``ElasticSearchIndexService.java:108-165`` picks the free -0/-1 alias
+    target; ``IndexerMetadataServiceImpl.java:664-682`` finalizes after the
+    validation gate). After churn (deletes/upserts) every query path pays an
+    ``isin``/mask over the tombstone set; compaction restores the clean
+    state: fresh dense ordinals, BM25 stats over live docs only, empty
+    tombstones (the new version directory simply has no tombstones.json),
+    and the previous version left intact on disk for instant rollback.
+
+    Distributed end to end: the live-doc scan is a Spark filter over
+    doc_stats and the rebuild is the ordinary ``build_index`` dataflow —
+    no driver materialization at any corpus size."""
+    from ..index.build import build_index
+
+    vdir = catalog.current_version_dir(index_dir)
+    if vdir is None:
+        raise FileNotFoundError(f"no published index in {index_dir}")
+    manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
+    tombs = load_tombstones(vdir)
+    live = spark.read.parquet(os.path.join(vdir, "doc_stats"))
+    if len(tombs):
+        live = live.filter(~F.col("doc_ord").isin([int(x) for x in tombs]))
+    src = live.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    res = build_index(
+        spark, src, index_dir,
+        n_buckets=int(manifest["n_buckets"]),
+        with_positions=bool(manifest["with_positions"]),
+        analyzer=manifest.get("analyzer", "index"),
+        resume=False,  # always a fresh version dir (never resume into blue)
+        **build_kwargs,
+    )
+    return {
+        "version_dir": res.version_dir,
+        "previous_version_dir": vdir,
+        "n_docs": res.n_docs,
+        "tombstones_compacted": int(len(tombs)),
+    }

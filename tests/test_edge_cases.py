@@ -82,3 +82,19 @@ def test_randomized_rank_identity(spark, tmp_path, seed):
         mode = "and" if rng.random() < 0.4 else "or"
         k = int(rng.integers(1, 30))
         _check_all_paths(spark, idx, orc, terms, k=k, mode=mode)
+
+
+def test_phrase_on_positionless_index_raises(spark, tmp_path):
+    """Multi-term phrase queries on an index built with the default
+    with_positions=False must fail LOUDLY up front (not silently return 0
+    hits), on both execution paths; single-term 'phrases' need no
+    positions and still work."""
+    idx = str(tmp_path / "idx")
+    df = synth_transcripts(spark, n_convs=10, turns_per_conv=3, seed=3)
+    build_index(spark, df, idx, n_buckets=4)  # with_positions defaults False
+    s = IndexSearcher(spark, idx)
+    with pytest.raises(ValueError, match="with_positions"):
+        s.phrase_search("the baco")
+    with pytest.raises(ValueError, match="with_positions"):
+        s.phrase_search_df("the baco", k=5)
+    assert isinstance(s.phrase_search("the"), object)  # single term: fine

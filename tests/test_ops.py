@@ -165,6 +165,53 @@ def test_embedding_dup_pairs_exact_matches_sql(emb):
     assert len(got) > 0  # threshold chosen so the check is non-vacuous
 
 
+def test_embedding_dup_pairs_exact_multiblock_identical(emb):
+    """The block-pair GEMM must be invariant to the block grid: forcing
+    many small blocks (real 10^9-vector geometry, scaled down) yields
+    byte-identical pairs to the degenerate single-block run."""
+    one = (
+        similarity.embedding_dup_pairs(emb, threshold=0.4, method="exact")
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    many = (
+        similarity.embedding_dup_pairs(
+            emb, threshold=0.4, method="exact", rows_per_block=37
+        )
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(one) > 0
+    assert one[["id_a", "id_b"]].values.tolist() == many[["id_a", "id_b"]].values.tolist()
+    np.testing.assert_array_equal(one["cosine"], many["cosine"])
+
+
+def test_no_unbounded_topandas_in_package():
+    """Grep guard (like the no-F.udf one): every ``.toPandas()`` in the
+    package must be bounded — a k-row top-k result, an explicit
+    ``.limit(...)`` sample, or the declared driver-side test referee in
+    oracle.py. A new unbounded full-table driver materialization (the
+    round-2 VERDICT anti-pattern) breaks this count."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "es_indexer_spark")
+    allowed = {
+        # file -> (max occurrences, why they are bounded)
+        "query/engine.py": (3, "auto-dispatch returns: k-row top-k/suggest results"),
+        "oracle.py": (1, "rank-identity test referee, driver-side by design"),
+        "ops/similarity.py": (1, ".limit(sample)-bounded IVF centroid training"),
+    }
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+        n = open(path).read().count(".toPandas(")
+        cap = allowed.get(rel, (0, ""))[0]
+        assert n <= cap, f"{rel}: {n} .toPandas() calls (allowed {cap})"
+    # the .limit-bounded one in similarity.py must stay on a .limit chain
+    sim = open(os.path.join(pkg, "ops", "similarity.py")).read()
+    for line in sim.splitlines():
+        if ".toPandas(" in line:
+            assert ".limit(" in line, f"unbounded toPandas in similarity.py: {line}"
+
+
 def test_embedding_dup_pairs_lsh_subset_of_exact(emb):
     """LSH path: precision exact (every pair passed the cosine verify),
     recall bounded by the multi-table S-curve — so LSH ⊆ exact, and with

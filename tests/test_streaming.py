@@ -107,3 +107,63 @@ def test_delete_and_upsert_tombstones(spark, tmp_path):
     assert len(found) == 1 and found["doc_id"].iloc[0] == victim
     # the OLD version of the turn stays masked
     assert victim not in s3.search(["the"], k=1000)["doc_id"].tolist()
+
+
+def test_rebuild_compacted_blue_green(spark, tmp_path):
+    """Tombstone compaction: delete+upsert churn → rebuild_compacted →
+    identical query results to a from-scratch build over the live corpus,
+    zero tombstones (scan_after stops filtering), previous version kept on
+    disk for rollback — the reference's blue/green reindex-all
+    (ElasticSearchIndexService.java:108-165)."""
+    from es_indexer_spark.streaming.incremental import rebuild_compacted
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 40), idx, n_buckets=8)
+    # churn: drop two conversations, rewrite one
+    del_ids = [f"conv{i:08d}:{t}" for i in (1, 2) for t in range(4)]
+    assert delete_docs(spark, idx, del_ids) == 8
+    upsert_df = _corpus(spark, 5, 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzcompacted"))
+    )
+    upsert_docs(spark, upsert_df, idx)
+
+    s_before = IndexSearcher(spark, idx)
+    assert len(s_before.tombstones) == 8 + 4
+    vdir_before = s_before.vdir
+    queries = (["the"], ["baco", "cora"], ["zzcompacted"])
+    sets_before = {
+        tuple(q): set(s_before.search(q, k=1000)["doc_id"]) for q in queries
+    }
+    n_live = s_before.n_docs - len(s_before.tombstones)
+
+    out = rebuild_compacted(spark, idx)
+    assert out["tombstones_compacted"] == 12
+    assert out["previous_version_dir"] == vdir_before
+    assert os.path.isdir(vdir_before)  # blue kept for rollback
+
+    s_after = IndexSearcher(spark, idx)
+    assert s_after.vdir != vdir_before
+    assert len(s_after.tombstones) == 0  # scan_after no longer filters isin
+    assert s_after.n_docs == n_live
+    assert s_after.scan_after(page_size=10_000).count() == n_live
+    # same hit sets as the tombstoned index (scores legitimately change:
+    # N/avgdl/df now exclude dead docs, exactly like a Lucene segment merge)
+    for q in queries:
+        assert set(s_after.search(q, k=1000)["doc_id"]) == sets_before[tuple(q)], q
+    # ...and EXACT score identity with a from-scratch build over the
+    # logically-live corpus (the compaction semantics, end to end)
+    live_src = (
+        _corpus(spark, 0, 40)
+        .filter(~F.col("conv_id").isin("conv00000001", "conv00000002", "conv00000005"))
+        .unionByName(upsert_df)
+    )
+    idx_ref = str(tmp_path / "idx_ref")
+    build_index(spark, live_src, idx_ref, n_buckets=8)
+    ref = IndexSearcher(spark, idx_ref)
+    for q in queries:
+        ra, rb = s_after.search(q, k=50), ref.search(q, k=50)
+        assert ra["doc_id"].tolist() == rb["doc_id"].tolist(), q
+        assert ra["score"].tolist() == rb["score"].tolist(), q
+    # deleted docs gone from point lookups; upserted text is the live one
+    assert len(s_after.get("conv00000001:0")) == 0
+    assert "zzcompacted" in s_after.get("conv00000005:0")["text"].iloc[0]

@@ -104,3 +104,118 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert ("a", 0) in keys and ("a", 1) in keys and ("c", 1) in keys
     assert ("b", 0) not in keys and ("c", 0) not in keys
     assert len(out) == 3
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the dedup kernel."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_set_to = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def getCurrentWatermarkMs(self):
+        return 1_000_000
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_set_to = ts
+
+
+def _dedup_pdf(texts, start=0):
+    import pandas as pd
+
+    from es_indexer_spark.streaming.operators import _DEDUP_OUT  # noqa: F401
+
+    import hashlib
+
+    def fp64(t):
+        norm = " ".join(t.lower().split())
+        # any deterministic int64 works for the unit test
+        return int.from_bytes(hashlib.md5(norm.encode()).digest()[:8], "big", signed=True)
+
+    return pd.DataFrame(
+        {
+            "conv_id": [f"c{start + i}" for i in range(len(texts))],
+            "turn_idx": list(range(len(texts))),
+            "fingerprint": [t for t in texts],
+            "fp64": [fp64(t) for t in texts],
+        }
+    )
+
+
+def test_dedup_state_is_int64_and_plateaus():
+    """State must be a sorted int64 array and must PLATEAU when the stream
+    replays already-seen documents — the state-bound property (round-2
+    VERDICT item 4): growth tracks DISTINCT docs, not stream length."""
+    import numpy as np
+
+    from es_indexer_spark.streaming.operators import _dedup_group
+
+    st = _FakeState()
+    texts = [f"doc number {i}" for i in range(50)]
+    out1 = list(_dedup_group(("k",), iter([_dedup_pdf(texts)]), st))[0]
+    assert len(out1) == 50
+    seen = np.asarray(st.get[0])
+    assert seen.dtype.kind == "i" and len(seen) == 50
+    assert (np.sort(seen) == seen).all()  # sorted → np.isin/searchsorted fast path
+
+    # replay the SAME docs 3 more times: zero new emissions, zero state growth
+    for rep in range(3):
+        out = list(_dedup_group(("k",), iter([_dedup_pdf(texts, start=100 * rep)]), st))[0]
+        assert len(out) == 0
+        assert len(st.get[0]) == 50  # plateau
+
+    # genuinely new docs still grow it by exactly the new-distinct count
+    out = list(_dedup_group(("k",), iter([_dedup_pdf(["brand new doc"])]), st))[0]
+    assert len(out) == 1 and len(st.get[0]) == 51
+
+
+def test_dedup_ttl_timeout_drops_state_and_rearms():
+    from es_indexer_spark.streaming.operators import _dedup_group
+
+    st = _FakeState()
+    list(_dedup_group(("k",), iter([_dedup_pdf(["a b c"])]), st, ttl_ms=60_000))
+    assert st.timeout_set_to == 1_000_000 + 60_000  # armed past the watermark
+    st.hasTimedOut = True
+    out = list(_dedup_group(("k",), iter([]), st, ttl_ms=60_000))[0]
+    assert st.removed and len(out) == 0
+
+
+def test_streaming_dedup_ttl_end_to_end(spark, tmp_path):
+    """Event-time TTL: once the watermark passes a bucket's horizon its
+    fingerprints are dropped, so a re-crawl far outside the dedup window
+    re-emits (bounded state is the point; re-admission is the tradeoff)."""
+    from es_indexer_spark.streaming.operators import streaming_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, [_row("a", 0, "the quick fox", 0)], order=1)
+    # far-future rows advance the watermark way past bucket a's horizon
+    _write_batch(spark, src, [_row("b", 0, "other text", 600)], order=2)
+    _write_batch(spark, src, [_row("c", 0, "more other text", 610)], order=3)
+    # same content as batch 1, re-arriving AFTER its bucket state expired
+    _write_batch(spark, src, [_row("d", 0, "the quick fox", 620)], order=4)
+    _write_batch(spark, src, [_row("e", 0, "closing text", 630)], order=5)
+    out = _run_stream(
+        spark, src, str(tmp_path / "ck"),
+        lambda s: streaming_dedup(s, n_buckets=8, ttl="5 minutes"),
+        "dedup_ttl_out", "append",
+    ).toPandas()
+    keys = set(map(tuple, out[["conv_id", "turn_idx"]].values))
+    assert ("a", 0) in keys
+    assert ("d", 0) in keys  # re-admitted: state for its bucket was TTL'd
