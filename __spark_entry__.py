@@ -432,6 +432,81 @@ def _tp_simhash_pairs(spark, sf_dir):
     )
 
 
+def _tp_dup_clusters(spark, sf_dir):
+    """Transitive duplicate-cluster resolution: exact-Jaccard pairs →
+    connected components (iterative min-label propagation, O(diameter)
+    rounds of one shuffle join each) → every doc labeled with its
+    cluster representative (singletons = own id). Oracle: the same
+    closure as a DuckDB recursive CTE."""
+    from es_indexer_spark.ops import clustering, dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return clustering.dup_clusters(docs, pairs)
+
+
+def _tp_dedup_retained(spark, sf_dir):
+    """Keep-first dedup output: ids surviving cluster collapse."""
+    from es_indexer_spark.ops import clustering, dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return clustering.dedup_retained(docs, pairs)
+
+
+_STRAT_RATES = {"en": 0.5, "es": 1.0, "fr": 0.25}
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+_SAMPLE_COLS = ["doc_id", "lang", "source"]
+
+
+def _tp_hash_sample(spark, sf_dir):
+    """Deterministic uniform 25% sample (md5-keyed pure filter — no
+    shuffle, identical row set on every re-run / partitioning)."""
+    from es_indexer_spark.ops import sampling
+
+    return sampling.hash_sample(_t(spark, sf_dir, "documents"), 0.25).select(*_SAMPLE_COLS)
+
+
+def _tp_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sampling rates (strata not listed are
+    dropped)."""
+    from es_indexer_spark.ops import sampling
+
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), _STRAT_RATES, stratum="lang"
+    ).select(*_SAMPLE_COLS)
+
+
+def _tp_domain_mix(spark, sf_dir):
+    """Resample to a target domain mixture with max retention; the
+    per-domain rates derive from one O(#domains) aggregate."""
+    from es_indexer_spark.ops import sampling
+
+    return sampling.domain_mix(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, domain="source"
+    ).select(*_SAMPLE_COLS)
+
+
+_PACK_BUDGET = 2048
+
+
+def _tp_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing at a 2048-token budget via a
+    two-pass distributed prefix sum (never a single-partition global
+    window)."""
+    from es_indexer_spark.ops import packing
+
+    return packing.pack_sequences(_t(spark, sf_dir, "documents"), _PACK_BUDGET)
+
+
+def _tp_pack_stats(spark, sf_dir):
+    from es_indexer_spark.ops import packing
+
+    return packing.pack_stats(
+        packing.pack_sequences(_t(spark, sf_dir, "documents"), _PACK_BUDGET)
+    )
+
+
 _Q_VEC = None
 
 
@@ -563,6 +638,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_minhash_pairs": _tp_minhash_pairs,  # rows-only (LSH candidates)
         "tp_minhash_precision": _tp_minhash_precision,
         "tp_simhash_pairs": _tp_simhash_pairs,
+        "tp_dup_clusters": _tp_dup_clusters,
+        "tp_dedup_retained": _tp_dedup_retained,
+        "tp_hash_sample": _tp_hash_sample,
+        "tp_stratified_sample": _tp_stratified_sample,
+        "tp_domain_mix": _tp_domain_mix,
+        "tp_sequence_packing": _tp_sequence_packing,
+        "tp_pack_stats": _tp_pack_stats,
         "tp_embedding_dups": _tp_embedding_dups,
         "tp_embedding_dups_lsh": _tp_embedding_dups_lsh,  # rows-only
         "tp_cosine_topk": _tp_cosine_topk,
@@ -574,7 +656,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from es_indexer_spark.ops import dedup, mapper, similarity, textstats
+    from es_indexer_spark.ops import (
+        clustering,
+        dedup,
+        mapper,
+        packing,
+        sampling,
+        similarity,
+        textstats,
+    )
 
     return {
         "ft_bm25_topk": _sql_bm25_topk(),
@@ -672,6 +762,17 @@ def oracle_sql() -> dict[str, str]:
         "tp_exact_dups": dedup.sql_exact_duplicates(),
         "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5, max_df=100),
         "tp_simhash_pairs": dedup.sql_simhash_pairs(max_hamming=3),
+        "tp_dup_clusters": clustering.sql_dup_clusters(
+            clustering.sql_jaccard_pairs_inner(threshold=0.5, max_df=100)
+        ),
+        "tp_dedup_retained": clustering.sql_dedup_retained(
+            clustering.sql_jaccard_pairs_inner(threshold=0.5, max_df=100)
+        ),
+        "tp_hash_sample": sampling.sql_hash_sample(0.25),
+        "tp_stratified_sample": sampling.sql_stratified_sample(_STRAT_RATES),
+        "tp_domain_mix": sampling.sql_domain_mix(_MIX_WEIGHTS),
+        "tp_sequence_packing": packing.sql_pack_sequences(_PACK_BUDGET),
+        "tp_pack_stats": packing.sql_pack_stats(_PACK_BUDGET),
         "tp_embedding_dups": similarity.sql_embedding_dup_pairs(threshold=0.4),
         # the LSH precision invariant (emitted ⊆ exact pairs) is computed
         # Spark-side as an anti-join; the oracle states its required value —

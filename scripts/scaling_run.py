@@ -51,6 +51,75 @@ def best_of(cores: int, n_convs: int, reps: int = 2) -> dict:
     return max(runs, key=lambda r: r["turns_per_sec"])
 
 
+def _postings_decomp_section() -> str:
+    """Embed the postings-stage component decomposition
+    (scripts/postings_decompose.py → POSTINGS_DECOMP.json) if measured."""
+    path = os.path.join(REPO, "POSTINGS_DECOMP.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    levels = d["levels"]
+    res = {int(k): v for k, v in d["results"].items()}
+    lo, hi = levels[0], levels[-1]
+    names = [
+        ("map_s", "tokenize→encode map (Arrow both ways, no shuffle/disk)"),
+        ("shuffle_merge_s", "shuffle (tbucket,seg) + in-partition sort + byte-concat merge"),
+        ("parquet_write_s", "partitionBy(tbucket) parquet write to the one disk"),
+        ("full_s", "whole postings stage"),
+    ]
+    rows = []
+    for k, label in names:
+        a, b = res[lo][k], res[hi][k]
+        sp = f"{a / b:.2f}x" if b else "n/a"
+        rows.append(
+            f"| {label} | "
+            + " | ".join(f"{res[c][k]}s" for c in levels)
+            + f" | {sp} |"
+        )
+    table = "\n".join(rows)
+    return f"""
+## Postings-stage component decomposition ({d['recorded_at']})
+
+The round-2 open question — WHY the postings stage alone scales
+negatively with cores — answered by truncating the same dataflow at
+three depths (noop sink for the first two, real parquet for the third;
+`scripts/postings_decompose.py`, best-of-2 per action, own pinned JVM
+per level, {res[lo]['n_docs']:,} turns):
+
+| component | {' | '.join(f'local[{c}]' for c in levels)} | {lo}→{hi} speedup |
+|---|{'---|' * (len(levels) + 1)}
+{table}
+"""
+
+
+def _positions_cost_section() -> str:
+    """Embed the positional-postings cost note
+    (scripts/positions_cost.py → POSITIONS_COST.json) if measured."""
+    path = os.path.join(REPO, "POSITIONS_COST.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    return f"""
+## Positional postings cost ({d['recorded_at']})
+
+`with_positions=False` is the default: phrase queries raise a clear
+error on a positions-less index (rebuild with positions to enable them).
+What the positional variant costs on the same {d['n_turns']:,}-turn
+corpus at local[{d['cores']}] (`scripts/positions_cost.py`):
+
+| variant | build wall | postings on disk | encoded bytes |
+|---|---|---|---|
+| positions off (default) | {d['build_s_nopos']}s | {d['postings_disk_bytes_nopos'] / 1e6:.1f} MB | {d['encoded_bytes_nopos'] / 1e6:.1f} MB |
+| positions on | {d['build_s_pos']}s | {d['postings_disk_bytes_pos'] / 1e6:.1f} MB | {d['encoded_bytes_pos'] / 1e6:.1f} MB |
+
+Positions multiply postings disk by {d['disk_ratio_pos_over_nopos']}x and
+build wall by {d['build_ratio_pos_over_nopos']}x — the reason they are
+opt-in, exactly like Lucene omitting positions for `IndexOptions.DOCS`.
+"""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=400_000)
@@ -230,6 +299,8 @@ constant ⇒ that stage waits on the single shared disk at both levels.
 These are exactly the resources a real 4N-executor cluster multiplies
 (cores, memory channels, disks) but a single box shares.
 """
+    md += _postings_decomp_section()
+    md += _positions_cost_section()
     md += f"""
 ## Measurement history (same code path, same input shape)
 
