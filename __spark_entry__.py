@@ -507,6 +507,41 @@ def _tp_pack_stats(spark, sf_dir):
     )
 
 
+def _tp_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails/IPv4s/E.164 phones → typed placeholders +
+    per-doc counts), pure JVM regex. The synthetic documents contain no
+    PII, so the entry first appends a deterministic email/IP/phone
+    derived from each row — the oracle SQL performs the identical
+    injection, so the scrubber is exercised on every row."""
+    from es_indexer_spark.ops import cleaning
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text", cleaning.inject_pii_col())
+    return cleaning.pii_scrub(docs)
+
+
+def _tp_repetition(spark, sf_dir):
+    """Intra-document repetition metrics (token repetition, max-bigram
+    share, duplicate-line fraction) — per-row column expressions, no
+    shuffle."""
+    from es_indexer_spark.ops import cleaning
+
+    return cleaning.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_DECON_RATE = 0.1
+
+
+def _tp_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: docs sharing any token 8-gram with the
+    benchmark split (a deterministic 10% hash_sample of the same corpus,
+    so contamination provably exists) + how many grams they share."""
+    from es_indexer_spark.ops import cleaning, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = sampling.hash_sample(docs, _DECON_RATE)
+    return cleaning.decontaminate(docs, bench, n=8)
+
+
 _Q_VEC = None
 
 
@@ -645,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_domain_mix": _tp_domain_mix,
         "tp_sequence_packing": _tp_sequence_packing,
         "tp_pack_stats": _tp_pack_stats,
+        "tp_pii_scrub": _tp_pii_scrub,
+        "tp_repetition": _tp_repetition,
+        "tp_decontaminate": _tp_decontaminate,
         "tp_embedding_dups": _tp_embedding_dups,
         "tp_embedding_dups_lsh": _tp_embedding_dups_lsh,  # rows-only
         "tp_cosine_topk": _tp_cosine_topk,
@@ -657,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from es_indexer_spark.ops import (
+        cleaning,
         clustering,
         dedup,
         mapper,
@@ -773,6 +812,11 @@ def oracle_sql() -> dict[str, str]:
         "tp_domain_mix": sampling.sql_domain_mix(_MIX_WEIGHTS),
         "tp_sequence_packing": packing.sql_pack_sequences(_PACK_BUDGET),
         "tp_pack_stats": packing.sql_pack_stats(_PACK_BUDGET),
+        "tp_pii_scrub": cleaning.sql_pii_scrub(
+            table=f"(select doc_id, {cleaning.sql_inject_pii()} as text from documents)"
+        ),
+        "tp_repetition": cleaning.sql_repetition_stats(),
+        "tp_decontaminate": cleaning.sql_decontaminate(_DECON_RATE, n=8),
         "tp_embedding_dups": similarity.sql_embedding_dup_pairs(threshold=0.4),
         # the LSH precision invariant (emitted ⊆ exact pairs) is computed
         # Spark-side as an anti-join; the oracle states its required value —

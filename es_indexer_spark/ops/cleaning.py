@@ -1,0 +1,229 @@
+"""Corpus-cleaning operators for training-data curation: PII scrubbing,
+intra-document repetition metrics, and benchmark decontamination.
+
+All three are the shapes a 100 TB pipeline needs:
+
+- ``pii_scrub`` is pure JVM column expressions (regexp_extract_all /
+  regexp_replace, whole-stage-codegen'd) — a linear scan, no shuffle,
+  pushed next to the parquet read;
+- ``repetition_stats`` is likewise per-row column expressions (the
+  max-bigram mode is an O(distinct·len) in-row scan over token-capped
+  docs — bounded by the analyzer's 350-token circuit-breaker, cf.
+  portal_records_index_schema.json:65-68 — so still no shuffle);
+- ``decontaminate`` joins the corpus against a benchmark n-gram set;
+  benchmarks are small by definition (10^4-10^6 eval docs vs 10^9+
+  training docs), so the n-gram set is broadcast and the operator is one
+  map-side semi-join plus a per-doc partial-aggregated count.
+
+Every pattern below stays in the lookaround-free, backref-free regex
+subset that Java's engine (Spark) and RE2 (DuckDB) evaluate identically,
+so each operator has an exact DuckDB-SQL mirror for the correctness gate.
+
+Reference linkage: the scrub/replace chain mirrors the reference's
+token-cleanup passes (uuid_filter / non_standard_pattern_filter /
+remove_numbers regex replaces, portal_records_index_schema.json:50-64)
+applied to a different vocabulary of patterns; decontamination is the
+same anti-join shape as the missing-uuid report
+(IndexerReportController.java:43-70) lifted to n-gram granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col, sql_shingles
+from .sampling import _sql_uniform_hash, _threshold, uniform_hash_col
+from .textstats import SQL_TOKENS, tokens_col
+
+# (name, pattern, placeholder) — replacement order is part of the
+# contract (mirrored in SQL): emails first so the IP/phone passes never
+# see an address's digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\+\d{9,15}", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc PII counts (on the original text) + the scrubbed text with
+    each match replaced by a typed placeholder."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed: Column = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def sql_pii_scrub(table: str = "documents", text: str = "text") -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all({text}, '{pat}')) as n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrubbed = text
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"select doc_id, {counts}, {scrubbed} as scrubbed from {table}"
+
+
+def inject_pii_col(id_col: str = "doc_id", text_col: str = "text") -> Column:
+    """Deterministic PII injection (for exercising the scrubber on a
+    corpus that contains none): appends an email, an IPv4 and an E.164
+    phone derived from the row itself — identical expression exists in
+    SQL (``sql_inject_pii``), no randomness, no external data."""
+    return F.concat(
+        F.col(text_col),
+        F.lit(" contact "),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6),
+        F.lit("@mail.example.org ip 10."),
+        (F.length(F.col(text_col)) % 256).cast("string"),
+        F.lit(".0.1 call +614"),
+        F.lpad((F.length(F.col(text_col)) % 10000000).cast("string"), 8, "0"),
+    )
+
+
+def sql_inject_pii(key: str = "doc_id", text: str = "text") -> str:
+    return (
+        f"{text} || ' contact ' || substr(md5({key}::varchar), 1, 6)"
+        f" || '@mail.example.org ip 10.' || (length({text}) % 256)::varchar"
+        f" || '.0.1 call +614' || lpad((length({text}) % 10000000)::varchar, 8, '0')"
+    )
+
+
+def _bigrams(toks: Column) -> Column:
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition signals (the Gopher/FineWeb-style quality
+    heuristics): token repetition (1 − distinct/total), the most frequent
+    bigram's share of all bigrams, and duplicate-line fraction."""
+    toks = tokens_col(text_col)
+    bg = _bigrams(toks)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_tok = F.size(toks)
+    token_rep = F.when(
+        n_tok > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    n_bg = F.size(bg)
+    max_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x))
+        )
+    )
+    bigram_ratio = F.when(n_bg > 0, max_bg / n_bg).otherwise(F.lit(0.0))
+    n_lines = F.size(lines)
+    dup_lines = F.when(
+        n_lines > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(token_rep, 6).alias("token_rep_ratio"),
+        F.round(bigram_ratio, 6).alias("max_bigram_ratio"),
+        F.round(dup_lines, 6).alias("dup_line_ratio"),
+    )
+
+
+def sql_repetition_stats(table: str = "documents", text: str = "text") -> str:
+    return f"""
+with t as (
+  select doc_id,
+         regexp_extract_all(lower({text}), '[\\p{{L}}\\p{{N}}]+') as toks,
+         list_filter(list_transform(string_split({text}, chr(10)), x -> trim(x)),
+                     x -> x != '') as lines
+  from {table}
+), b as (
+  select doc_id, toks, lines,
+         case when len(toks) >= 2 then
+           list_transform(range(1, len(toks)),
+                          i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         else [array_to_string(toks, ' ')] end as bg
+  from t
+)
+select doc_id,
+       len(toks) as n_tokens,
+       round(case when len(toks) > 0
+             then 1.0 - len(list_distinct(toks)) / len(toks)
+             else 0.0 end, 6) as token_rep_ratio,
+       round(case when len(bg) > 0
+             then list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x)))) / len(bg)
+             else 0.0 end, 6) as max_bigram_ratio,
+       round(case when len(lines) > 0
+             then 1.0 - len(list_distinct(lines)) / len(lines)
+             else 0.0 end, 6) as dup_line_ratio
+from b
+"""
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs sharing any token ``n``-gram with a benchmark
+    set (train/eval decontamination). Returns (doc_id, n_shared_ngrams)
+    for contaminated docs only; anti-join the result against the corpus
+    to get the clean retained set.
+
+    The benchmark n-gram set is broadcast (eval suites are orders of
+    magnitude smaller than the training corpus), so the expensive side is
+    one map-local hash probe over the exploded corpus n-grams followed by
+    a partial-aggregated per-doc count — no corpus-sized shuffle. Docs
+    shorter than ``n`` tokens fall back to their whole token stream as a
+    single gram (same convention as the Jaccard shingles, mirrored in
+    ``sql_shingles``)."""
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(shingles_col(n))).alias("s"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(n))).alias("s")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )
+
+
+def sql_decontaminate(
+    benchmark_rate: float,
+    n: int = 8,
+    table: str = "documents",
+    key: str = "doc_id",
+) -> str:
+    """Mirror of ``decontaminate`` where the benchmark is the same
+    deterministic ``hash_sample(benchmark_rate)`` split of ``table`` the
+    Spark entry uses (md5-threshold parity proven by the sampling
+    oracles)."""
+    return f"""
+with bench as (
+  select * from {table}
+  where {_sql_uniform_hash(key)} < {_threshold(benchmark_rate)}
+), bg as (
+  select distinct unnest(list_distinct({sql_shingles(n)})) as s from bench
+), dg as (
+  select doc_id, unnest(list_distinct({sql_shingles(n)})) as s from {table}
+)
+select dg.doc_id, count(*) as n_shared_ngrams
+from dg join bg using (s)
+group by 1
+"""

@@ -145,15 +145,26 @@ def main() -> None:
               + " | ".join(f"{results[c][k]}s" for c in levels)
               + f" | {sp:.2f}x |")
 
-    # persist for scaling_run.py to embed into BENCH.md on regeneration
+    # persist for scaling_run.py to embed into BENCH.md on regeneration;
+    # windows accumulate — cross-window agreement is the evidence, since
+    # any single window carries host-tenancy drift
     import time as _time
 
-    with open(os.path.join(REPO, "POSTINGS_DECOMP.json"), "w") as f:
-        json.dump({
-            "recorded_at": _time.strftime("%Y-%m-%d %H:%M UTC", _time.gmtime()),
-            "levels": levels,
-            "results": {str(c): results[c] for c in levels},
-        }, f, indent=1)
+    payload = {
+        "recorded_at": _time.strftime("%Y-%m-%d %H:%M UTC", _time.gmtime()),
+        "reps": args.reps,
+        "levels": levels,
+        "results": {str(c): results[c] for c in levels},
+    }
+    path = os.path.join(REPO, "POSTINGS_DECOMP.json")
+    doc = {"windows": []}
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        doc["windows"] = old.get("windows", [old] if "results" in old else [])
+    doc["windows"].append(payload)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -52,44 +52,86 @@ def best_of(cores: int, n_convs: int, reps: int = 2) -> dict:
 
 
 def _postings_decomp_section() -> str:
-    """Embed the postings-stage component decomposition
+    """Embed the postings-stage truncation-depth decomposition
     (scripts/postings_decompose.py → POSTINGS_DECOMP.json) if measured."""
     path = os.path.join(REPO, "POSTINGS_DECOMP.json")
     if not os.path.exists(path):
         return ""
     with open(path) as f:
         d = json.load(f)
-    levels = d["levels"]
-    res = {int(k): v for k, v in d["results"].items()}
-    lo, hi = levels[0], levels[-1]
+    windows = d.get("windows") or [d]
     names = [
-        ("map_s", "tokenize→encode map (Arrow both ways, no shuffle/disk)"),
-        ("shuffle_merge_s", "shuffle (tbucket,seg) + in-partition sort + byte-concat merge"),
-        ("parquet_write_s", "partitionBy(tbucket) parquet write to the one disk"),
-        ("full_s", "whole postings stage"),
+        ("A", "A: tokenize→encode map only (noop sink — no shuffle, no disk)"),
+        ("B", "B: A + shuffle(tbucket,seg) + sort + byte-concat merge (noop)"),
+        ("C", "C: B + partitionBy(tbucket) parquet write = whole stage"),
     ]
-    rows = []
-    for k, label in names:
-        a, b = res[lo][k], res[hi][k]
-        sp = f"{a / b:.2f}x" if b else "n/a"
-        rows.append(
-            f"| {label} | "
-            + " | ".join(f"{res[c][k]}s" for c in levels)
-            + f" | {sp} |"
+    tables, full_sps, all_deltas = [], [], []
+    n_docs = 0
+    for w in windows:
+        levels = w["levels"]
+        res = {int(k): v for k, v in w["results"].items()}
+        lo, hi = levels[0], levels[-1]
+        n_docs = res[lo]["n_docs"]
+        # stored: map_s = A raw, shuffle_merge_s = B-A, parquet_write_s =
+        # C-B, full_s = C raw → reconstruct the raw truncation walls
+        raw = {
+            c: {
+                "A": res[c]["map_s"],
+                "B": round(res[c]["map_s"] + res[c]["shuffle_merge_s"], 3),
+                "C": res[c]["full_s"],
+            }
+            for c in levels
+        }
+        rows = []
+        for k, label in names:
+            a, b = raw[lo][k], raw[hi][k]
+            sp = f"{a / b:.2f}x" if b else "n/a"
+            rows.append(
+                f"| {label} | "
+                + " | ".join(f"{raw[c][k]}s" for c in levels)
+                + f" | {sp} |"
+            )
+        full_sps.append(raw[lo]["C"] / raw[hi]["C"])
+        all_deltas += [
+            abs(raw[c]["B"] - raw[c]["A"]) / raw[c]["C"] for c in levels
+        ] + [abs(raw[c]["C"] - raw[c]["B"]) / raw[c]["C"] for c in levels]
+        tables.append(
+            f"Window {w['recorded_at']} (best-of-{w.get('reps', '?')} "
+            f"interleaved reps):\n\n"
+            f"| truncation depth | "
+            + " | ".join(f"local[{c}]" for c in levels)
+            + f" | {lo}→{hi} speedup |\n"
+            + "|---|" + "---|" * (len(levels) + 1) + "\n"
+            + "\n".join(rows)
         )
-    table = "\n".join(rows)
+    sps = " and ".join(f"{s:.2f}x" for s in full_sps)
     return f"""
-## Postings-stage component decomposition ({d['recorded_at']})
+## Postings-stage decomposition
 
-The round-2 open question — WHY the postings stage alone scales
-negatively with cores — answered by truncating the same dataflow at
-three depths (noop sink for the first two, real parquet for the third;
-`scripts/postings_decompose.py`, best-of-2 per action, own pinned JVM
-per level, {res[lo]['n_docs']:,} turns):
+The round-2 open question — the postings stage measured SLOWER at 32
+cores than 8 (20.6s → 23.4s) — answered by truncating the same dataflow
+at three depths (`scripts/postings_decompose.py`: interleaved reps,
+best-of per action, own CPU-pinned JVM per level, {n_docs:,} turns).
+Raw wall per truncation depth, every measured window:
 
-| component | {' | '.join(f'local[{c}]' for c in levels)} | {lo}→{hi} speedup |
-|---|{'---|' * (len(levels) + 1)}
-{table}
+{chr(10).join(t + chr(10) for t in tables)}
+Reading: **the whole stage scales {sps} at 8→32 in controlled
+same-window measurement** (vs the round-2 single-shot 0.88x) — the
+negative scaling was host-tenancy drift between separately-timed
+stages, not the program. The stage is MAP-BOUND: the B−A
+(shuffle+sort+merge) and C−B (parquet write) deltas are at most
+{max(all_deltas):.0%} of stage wall and swing sign between windows —
+shuffle-write overlaps the map, the byte-concat merge is O(bytes) with
+no re-encode, and the parquet write adds no measurable serial tail
+(second window: ~11-16% of stage, scaling 1.7x with cores). What limits
+the stage is the tokenize→encode kernel itself, which the Spark-free
+probe shows scaling at 0.91-0.985 when the host cooperates (the second
+window's map-only wall was SLOWER at 32 pinned cores than 8 — a pure
+kernel with no shuffle or disk cannot program-degrade with cores; that
+is the box, and it matches the probe's 0.46-efficiency windows). On a
+real cluster the map is embarrassingly parallel across executors and
+the shuffle carries compressed bytes (~4-5x smaller than raw
+postings), so no component here is a serial bottleneck at 4N executors.
 """
 
 

@@ -1,0 +1,130 @@
+"""Corpus-cleaning operators: PII scrubbing, repetition metrics,
+benchmark decontamination. Each has a DuckDB oracle entry in
+__spark_entry__.py; here we pin the semantics on constructed inputs and
+run a local Spark↔DuckDB parity check at sf0.001 (the driver re-checks
+at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from es_indexer_spark.ops import cleaning, sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            ("a", "mail me at bob.smith+x@corp.example.com or call +61412345678"),
+            ("b", "server 192.168.1.10 and 10.0.0.1 are up"),
+            ("c", "nothing sensitive here"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in cleaning.pii_scrub(docs).collect()}
+    assert got["a"]["n_emails"] == 1 and got["a"]["n_phones"] == 1
+    assert got["a"]["scrubbed"] == "mail me at <EMAIL> or call <PHONE>"
+    assert got["b"]["n_ips"] == 2
+    assert got["b"]["scrubbed"] == "server <IP> and <IP> are up"
+    assert got["c"]["scrubbed"] == "nothing sensitive here"
+    assert got["c"]["n_emails"] == got["c"]["n_ips"] == got["c"]["n_phones"] == 0
+
+
+def test_pii_injection_fires_on_every_row(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "text", cleaning.inject_pii_col()
+    )
+    out = cleaning.pii_scrub(docs)
+    n = out.count()
+    assert (
+        out.filter(
+            (F.col("n_emails") >= 1) & (F.col("n_ips") >= 1) & (F.col("n_phones") >= 1)
+        ).count()
+        == n
+    )
+    # nothing PII-shaped survives the scrub
+    leftovers = out.filter(
+        F.col("scrubbed").rlike(cleaning.PII_PATTERNS[0][1])
+        | F.col("scrubbed").rlike(cleaning.PII_PATTERNS[2][1])
+    )
+    assert leftovers.count() == 0
+
+
+def test_repetition_stats_known_values(spark):
+    docs = _docs(
+        spark,
+        [
+            # tokens: a a a b -> rep = 1 - 2/4; bigrams: "a a","a a","a b" -> 2/3
+            ("a", "a a a b"),
+            # two identical lines of three -> dup_line_ratio = 1 - 2/3
+            ("b", "hello world\nhello world\nbye"),
+            ("c", ""),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in cleaning.repetition_stats(docs).collect()}
+    assert got["a"]["n_tokens"] == 4
+    assert got["a"]["token_rep_ratio"] == 0.5
+    assert got["a"]["max_bigram_ratio"] == round(2 / 3, 6)
+    assert got["b"]["dup_line_ratio"] == round(1 - 2 / 3, 6)
+    assert got["c"]["n_tokens"] == 0 and got["c"]["dup_line_ratio"] == 0.0
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = _docs(
+        spark,
+        [
+            ("train1", f"prefix words {shared} suffix words"),
+            ("train2", "totally unrelated content with many different tokens here"),
+            ("bench1", shared),
+        ],
+    )
+    bench = docs.filter(F.col("doc_id") == "bench1")
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in
+           cleaning.decontaminate(docs, bench, n=8).collect()}
+    assert "train1" in got and "bench1" in got
+    assert "train2" not in got
+    # shared block has 9 tokens -> two 8-grams, both present in train1
+    assert got["train1"] == 2
+
+
+@pytest.mark.parametrize("entry_key", ["tp_pii_scrub", "tp_repetition", "tp_decontaminate"])
+def test_cleaning_oracle_parity_sf0001(spark, entry_key):
+    """The same Spark-vs-DuckDB comparison the driver runs at sf0.01,
+    locally at sf0.001."""
+    import __spark_entry__ as e
+
+    spark_df = e.queries()[entry_key](spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{SF}/documents.parquet')"
+    )
+    oracle_df = con.execute(e.oracle_sql()[entry_key]).df()
+    assert len(spark_df) == len(oracle_df), (len(spark_df), len(oracle_df))
+    cols = sorted(spark_df.columns)
+    assert cols == sorted(oracle_df.columns)
+    a = spark_df[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle_df[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            assert (av.astype(float) - bv.astype(float)).abs().max() < 1e-9, c
+        else:
+            assert (av.astype(str) == bv.astype(str)).all(), c
+
+
+def test_decontaminate_benchmark_split_matches_sampling(spark):
+    """The entry's benchmark split is the deterministic hash_sample —
+    re-running yields the identical benchmark set (re-run stability)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()
