@@ -542,6 +542,19 @@ def _tp_decontaminate(spark, sf_dir):
     return cleaning.decontaminate(docs, bench, n=8)
 
 
+def _tp_media_block_means(spark, sf_dir):
+    """Binary-column media pipeline, value-proven end to end: build real
+    binary image payloads from a closed-form pixel formula keyed by
+    doc_id, then DECODE THE BYTES (header parse + frombuffer) and
+    block-mean resize to 4×4 in numpy. The oracle computes the same
+    block means analytically from the formula without seeing a byte —
+    a hash match proves the whole encode→decode→resize round trip."""
+    from es_indexer_spark.ops import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.image_block_means(multimodal.synth_formula_images(docs))
+
+
 _Q_VEC = None
 
 
@@ -575,6 +588,22 @@ def _tp_embedding_dups_lsh(spark, sf_dir):
 
     return similarity.embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, method="lsh"
+    )
+
+
+def _tp_embedding_lsh_precision(spark, sf_dir):
+    """PRECISION oracle for the LSH embedding-dup path (recall stays
+    rows-only — hyperplane bucketing is probabilistic by design): every
+    LSH-emitted pair must appear in the exact block-GEMM pair set, stated
+    as an anti-join counting 0 violations (hash-compared against the
+    oracle's constant 0; one false positive goes red)."""
+    from es_indexer_spark.ops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = similarity.embedding_dup_pairs(emb, threshold=0.4, method="lsh")
+    exact = similarity.embedding_dup_pairs(emb, threshold=0.4, method="exact")
+    return lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").cast("long").alias("n_violations")
     )
 
 
@@ -681,10 +710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_sequence_packing": _tp_sequence_packing,
         "tp_pack_stats": _tp_pack_stats,
         "tp_pii_scrub": _tp_pii_scrub,
+        "tp_media_block_means": _tp_media_block_means,
         "tp_repetition": _tp_repetition,
         "tp_decontaminate": _tp_decontaminate,
         "tp_embedding_dups": _tp_embedding_dups,
         "tp_embedding_dups_lsh": _tp_embedding_dups_lsh,  # rows-only
+        "tp_embedding_lsh_precision": _tp_embedding_lsh_precision,
         "tp_cosine_topk": _tp_cosine_topk,
         "tp_ann_topk": _tp_ann_topk,  # rows-only (approximate)
         "tp_ann_exhaustive": _tp_ann_exhaustive,
@@ -699,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         clustering,
         dedup,
         mapper,
+        multimodal,
         packing,
         sampling,
         similarity,
@@ -812,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "tp_domain_mix": sampling.sql_domain_mix(_MIX_WEIGHTS),
         "tp_sequence_packing": packing.sql_pack_sequences(_PACK_BUDGET),
         "tp_pack_stats": packing.sql_pack_stats(_PACK_BUDGET),
+        "tp_media_block_means": multimodal.sql_image_block_means(),
         "tp_pii_scrub": cleaning.sql_pii_scrub(
             table=f"(select doc_id, {cleaning.sql_inject_pii()} as text from documents)"
         ),
@@ -822,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark-side as an anti-join; the oracle states its required value —
         # any false-positive pair flips the count and hash-mismatches
         "tp_minhash_precision": "select 0::bigint as n_violations",
+        "tp_embedding_lsh_precision": "select 0::bigint as n_violations",
         "tp_cosine_topk": _sql_cosine(),
         "tp_ann_exhaustive": _sql_cosine(),
         "tp_ivf_exhaustive": _sql_cosine(),
@@ -830,7 +864,8 @@ def oracle_sql() -> dict[str, str]:
         # tp_minhash_precision), tp_ann_topk / tp_ivf_topk (approximate by
         # design; tp_ann_exhaustive / tp_ivf_exhaustive prove both ANN
         # machineries exact at full probes), tp_embedding_dups_lsh
-        # (subset-of-exact pytest-proven)
+        # (subset-of-exact proven by pytest AND by the
+        # tp_embedding_lsh_precision oracle row above)
     }
 
 

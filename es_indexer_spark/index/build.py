@@ -501,15 +501,19 @@ def build_index(
 
         wt = _pads.dataset(batch_path, partitioning="hive").to_table(
             columns=["seg", "df_chunk", "doc_bytes", "tf_bytes"]
+            + (["pos_bytes"] if with_positions else [])
         )
+        enc_bytes = (
+            pd.Series(wt["doc_bytes"].to_pandas()).str.len()
+            + pd.Series(wt["tf_bytes"].to_pandas()).str.len()
+        )
+        if with_positions:
+            enc_bytes = enc_bytes + pd.Series(wt["pos_bytes"].to_pandas()).str.len()
         wpdf = pd.DataFrame(
             {
                 "seg": wt["seg"].to_numpy(zero_copy_only=False),
                 "postings": wt["df_chunk"].to_numpy(zero_copy_only=False),
-                "bytes": (
-                    pd.Series(wt["doc_bytes"].to_pandas()).str.len()
-                    + pd.Series(wt["tf_bytes"].to_pandas()).str.len()
-                ),
+                "bytes": enc_bytes,
             }
         )
         agg = wpdf.groupby("seg").agg(

@@ -137,6 +137,125 @@ def extract_features(df: DataFrame, bins: int = 32) -> DataFrame:
     return df.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# formula-image pipeline: a binary codec path with a full DuckDB oracle.
+#
+# Pixels are a closed-form function of (media_id, pixel index):
+#   w = 8 + (id % 5)*4, h = 8 + (id % 7)*4, p[i] = (id*31 + i*7) % 256
+# The Spark side BUILDS real binary payloads from the formula, then
+# DECODES the bytes back (header parse + frombuffer) and block-mean
+# resizes in numpy; the DuckDB oracle computes the same block means
+# analytically from the formula without ever seeing a byte. A value-hash
+# match proves the entire binary encode→decode→resize round trip — the
+# strongest check a binary-column pipeline can get without real codecs.
+# ---------------------------------------------------------------------------
+
+IMG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("by", T.IntegerType(), False),
+        T.StructField("bx", T.IntegerType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+    ]
+)
+
+
+def _formula_dims(mid: int) -> tuple[int, int]:
+    return 8 + (mid % 5) * 4, 8 + (mid % 7) * 4
+
+
+def synth_formula_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): one grayscale image per input row, pixels from
+    the closed-form formula above, packed behind the standard header."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col].to_numpy(np.int64):
+                w, h = _formula_dims(int(mid))
+                px = ((int(mid) * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256
+                      ).astype(np.uint8)
+                ids.append(int(mid))
+                payloads.append(
+                    struct.pack(_HDR_FMT, _MAGIC, KIND_IMAGE, w, h, 0, 1)
+                    + px.tobytes()
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long")).mapInPandas(gen, IMG_SCHEMA)
+
+
+def image_block_means(df: DataFrame, grid: int = 4) -> DataFrame:
+    """Decode each binary image (header parse + frombuffer — dims read
+    from the BYTES, not recomputed) and block-mean resize to grid×grid;
+    emits one row per block: (media_id, by, bx, mean). Image dims must be
+    multiples of ``grid`` (the formula guarantees it)."""
+
+    def gen(batches):
+        for pdf in batches:
+            mids, bys, bxs, means = [], [], [], []
+            for mid, buf in zip(pdf["media_id"].to_numpy(np.int64), pdf["payload"]):
+                magic, kind, w, h, _, _ = struct.unpack_from(_HDR_FMT, buf)
+                if magic != _MAGIC or kind != KIND_IMAGE:
+                    raise ValueError("bad image header")
+                img = (
+                    np.frombuffer(buf, dtype=np.uint8, offset=_HDR_SIZE, count=w * h)
+                    .astype(np.float64)
+                    .reshape(h, w)
+                )
+                blocks = img.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
+                mids.append(np.full(grid * grid, mid, dtype=np.int64))
+                bys.append(np.repeat(np.arange(grid, dtype=np.int32), grid))
+                bxs.append(np.tile(np.arange(grid, dtype=np.int32), grid))
+                means.append(np.round(blocks.ravel(), 6))
+            if not mids:
+                yield pd.DataFrame(
+                    {"media_id": [], "by": [], "bx": [], "mean": []}
+                ).astype({"media_id": "int64", "by": "int32", "bx": "int32",
+                          "mean": "float64"})
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(mids),
+                    "by": np.concatenate(bys),
+                    "bx": np.concatenate(bxs),
+                    "mean": np.concatenate(means),
+                }
+            )
+
+    return df.mapInPandas(gen, BLOCK_SCHEMA)
+
+
+def sql_image_block_means(grid: int = 4, table: str = "documents") -> str:
+    """Analytic DuckDB mirror of synth_formula_images ∘ image_block_means:
+    the same block means computed straight from the pixel formula."""
+    return f"""
+with ids as (
+  select doc_id::bigint as media_id,
+         8 + (doc_id % 5) * 4 as w,
+         8 + (doc_id % 7) * 4 as h
+  from {table}
+), px as (
+  select media_id, w, h, u.i as i,
+         (media_id * 31 + u.i * 7) % 256 as p
+  from ids, unnest(range(0, w * h)) as u(i)
+)
+select media_id,
+       ((i // w) // (h // {grid}))::int as by,
+       ((i % w) // (w // {grid}))::int as bx,
+       round(avg(p), 6) as mean
+from px
+group by 1, 2, 3
+"""
+
+
 def sample_frames(df: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits (media_id, frame_idx)
     for every_n-th frame — the explode pattern a real pipeline feeds to the

@@ -284,6 +284,30 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_real(media)
 
 
+def test_image_block_means_binary_roundtrip(spark, docs):
+    """The binary codec path proven against the analytic oracle: Spark
+    builds real payload bytes from the pixel formula, decodes THE BYTES
+    and block-mean resizes; DuckDB computes the same means from the
+    formula without ever seeing a byte."""
+    out = multimodal.image_block_means(multimodal.synth_formula_images(docs))
+    _cmp(out, multimodal.sql_image_block_means(), ["media_id", "by", "bx"])
+
+
+def test_image_block_means_known_value(spark):
+    # media_id=0 -> w=8, h=8, p[i] = (7*i) % 256; block (0,0) covers the
+    # 2x2... no: grid=4 on 8x8 -> 2x2 blocks; block (0,0) = pixels
+    # i in {0,1,8,9} -> 7*(0+1+8+9)/4 = 31.5
+    df = spark.createDataFrame([(0,)], "doc_id long")
+    got = {
+        (r["by"], r["bx"]): r["mean"]
+        for r in multimodal.image_block_means(
+            multimodal.synth_formula_images(df)
+        ).collect()
+    }
+    assert len(got) == 16
+    assert got[(0, 0)] == 7 * (0 + 1 + 8 + 9) / 4
+
+
 def test_ivf_ann_recall_on_clustered_vectors(spark):
     rng = np.random.RandomState(4)
     centers = rng.normal(size=(10, 64))
