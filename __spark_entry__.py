@@ -542,6 +542,21 @@ def _tp_decontaminate(spark, sf_dir):
     return cleaning.decontaminate(docs, bench, n=8)
 
 
+_CURATE_BENCH_RATE = 0.05
+
+
+def _tp_curation(spark, sf_dir):
+    """The composed curation recipe (exact-dedup keep-first →
+    decontaminate vs a 5% benchmark split → quality >= 0.65 →
+    deterministic 50% sample) as one DataFrame program; the oracle
+    states the identical composition as chained CTEs."""
+    from es_indexer_spark.ops import cleaning, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = sampling.hash_sample(docs, _CURATE_BENCH_RATE)
+    return cleaning.curate(docs, bench, quality_min=0.65, sample_rate=0.5)
+
+
 def _tp_media_block_means(spark, sf_dir):
     """Binary-column media pipeline, value-proven end to end: build real
     binary image payloads from a closed-form pixel formula keyed by
@@ -710,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_sequence_packing": _tp_sequence_packing,
         "tp_pack_stats": _tp_pack_stats,
         "tp_pii_scrub": _tp_pii_scrub,
+        "tp_curation": _tp_curation,
         "tp_media_block_means": _tp_media_block_means,
         "tp_repetition": _tp_repetition,
         "tp_decontaminate": _tp_decontaminate,
@@ -844,6 +860,9 @@ def oracle_sql() -> dict[str, str]:
         "tp_domain_mix": sampling.sql_domain_mix(_MIX_WEIGHTS),
         "tp_sequence_packing": packing.sql_pack_sequences(_PACK_BUDGET),
         "tp_pack_stats": packing.sql_pack_stats(_PACK_BUDGET),
+        "tp_curation": cleaning.sql_curate(
+            _CURATE_BENCH_RATE, quality_min=0.65, sample_rate=0.5
+        ),
         "tp_media_block_means": multimodal.sql_image_block_means(),
         "tp_pii_scrub": cleaning.sql_pii_scrub(
             table=f"(select doc_id, {cleaning.sql_inject_pii()} as text from documents)"

@@ -204,6 +204,66 @@ def decontaminate(
     )
 
 
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    quality_min: float = 0.65,
+    sample_rate: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end curation recipe as ONE declarative DataFrame
+    program: exact-dedup keep-first → benchmark decontamination →
+    quality floor → deterministic hash sample. Catalyst plans the whole
+    chain together (the quality features and the sample are pure
+    projections/filters that fuse into the scan; the dedup groupBy is
+    the one corpus shuffle; the contamination anti-join's right side is
+    benchmark-bounded). Output: (doc_id, lang, source, n_tokens,
+    quality_score) — the retained training set with its quality stats."""
+    from .textstats import content_fingerprint, quality_features
+
+    fp = content_fingerprint(docs, id_col=id_col)
+    keep = (
+        fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
+    )
+    cont = decontaminate(docs, benchmark, n=n, id_col=id_col).select(id_col)
+    q = quality_features(docs, id_col=id_col)
+    return (
+        docs.select(id_col, "lang", "source")
+        .join(keep, id_col, "left_semi")
+        .join(cont, id_col, "left_anti")
+        .join(q.select(id_col, "n_tokens", "quality_score"), id_col)
+        .filter(F.col("quality_score") >= quality_min)
+        .filter(uniform_hash_col(F.col(id_col)) < F.lit(_threshold(sample_rate)))
+    )
+
+
+def sql_curate(
+    benchmark_rate: float,
+    n: int = 8,
+    quality_min: float = 0.65,
+    sample_rate: float = 0.5,
+    table: str = "documents",
+) -> str:
+    from .textstats import sql_content_fingerprint, sql_quality_features
+
+    return f"""
+with fp as ({sql_content_fingerprint(table)}),
+keep as (select min(doc_id) as doc_id from fp group by fingerprint),
+cont as (select distinct doc_id
+         from ({sql_decontaminate(benchmark_rate, n, table)})),
+q as (select * from ({sql_quality_features(table)}))
+select d.doc_id, d.lang, d.source, q.n_tokens, q.quality_score
+from {table} d
+join keep using (doc_id)
+join q on q.doc_id = d.doc_id
+where d.doc_id not in (select doc_id from cont)
+  and q.quality_score >= {quality_min}
+  and {_sql_uniform_hash('d.doc_id')} < {_threshold(sample_rate)}
+"""
+
+
 def sql_decontaminate(
     benchmark_rate: float,
     n: int = 8,

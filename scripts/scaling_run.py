@@ -332,14 +332,18 @@ Kernel totals summed over all tasks ({' / '.join(f'local[{c}]' for c in levels)}
 - tokenize+encode in-kernel wall (perf_counter): {phase_vals('phase_wall_s', 'tokenize_encode')}
 - merge true CPU: {phase_vals('phase_cpu_s', 'merge_chunks')}
 
-Reading: TRUE CPU ~constant across levels ⇒ the Python kernels partition
-perfectly and burn the same cycles regardless of parallelism; any growth
-is memory-bandwidth stall cycles. IN-KERNEL WALL greatly exceeding true
-CPU at high core counts ⇒ workers are descheduled mid-kernel — host
-oversubscription, not the program. Stage WALL flat while kernel CPU is
-constant ⇒ that stage waits on the single shared disk at both levels.
-These are exactly the resources a real 4N-executor cluster multiplies
-(cores, memory channels, disks) but a single box shares.
+Reading: when TRUE CPU stays ~constant across levels, the kernels
+partition perfectly — same cycles regardless of parallelism. When it
+GROWS at higher core counts, the extra cycles are memory-bandwidth/SMT
+stalls from 32 workers time-sharing the box's memory channels (stall
+cycles count as busy CPU; the work per turn is identical by
+construction, and the Spark-free probe burns constant CPU/doc when run
+alone). IN-KERNEL WALL greatly exceeding true CPU ⇒ workers are
+descheduled mid-kernel — host oversubscription, not the program. Stage
+WALL flat while kernel CPU is constant ⇒ that stage waits on the single
+shared disk at both levels. These are exactly the resources a real
+4N-executor cluster multiplies (cores, memory channels, disks) but a
+single box shares.
 """
     md += _postings_decomp_section()
     md += _positions_cost_section()

@@ -96,7 +96,46 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert got["train1"] == 2
 
 
-@pytest.mark.parametrize("entry_key", ["tp_pii_scrub", "tp_repetition", "tp_decontaminate"])
+def test_curate_composition_semantics(spark):
+    """Each stage of the composed recipe does its job on a constructed
+    corpus: the exact dup keeps first-id only, the contaminated doc is
+    dropped, the low-quality doc is dropped."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was a fine day "
+        "for that in the sunny park where the children played games"
+    )
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("1", good, "en", "src0"),
+        ("2", good, "en", "src0"),             # exact dup of 1 -> dropped
+        ("3", f"{good} {bench_text}", "en", "src0"),  # contaminated -> dropped
+        ("4", "x y z", "en", "src0"),          # low quality -> dropped
+        ("5", good + " extra tail words here today", "en", "src0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, source string"
+    )
+    bench = spark.createDataFrame(
+        [("b", bench_text, "en", "src0")],
+        "doc_id string, text string, lang string, source string",
+    )
+    kept = {
+        r["doc_id"]: r.asDict()
+        for r in cleaning.curate(
+            docs, bench, quality_min=0.3, sample_rate=1.0
+        ).collect()
+    }
+    assert "2" not in kept          # dup loses to min-id
+    assert "3" not in kept          # shares 8-grams with the benchmark
+    assert "4" not in kept          # below the quality floor
+    assert "1" in kept and "5" in kept
+    assert kept["1"]["quality_score"] >= 0.3 and kept["1"]["n_tokens"] > 10
+
+
+@pytest.mark.parametrize(
+    "entry_key",
+    ["tp_pii_scrub", "tp_repetition", "tp_decontaminate", "tp_curation"],
+)
 def test_cleaning_oracle_parity_sf0001(spark, entry_key):
     """The same Spark-vs-DuckDB comparison the driver runs at sf0.01,
     locally at sf0.001."""
