@@ -216,26 +216,41 @@ def curate(
     """The end-to-end curation recipe as ONE declarative DataFrame
     program: exact-dedup keep-first → benchmark decontamination →
     quality floor → deterministic hash sample. Catalyst plans the whole
-    chain together (the quality features and the sample are pure
-    projections/filters that fuse into the scan; the dedup groupBy is
-    the one corpus shuffle; the contamination anti-join's right side is
-    benchmark-bounded). Output: (doc_id, lang, source, n_tokens,
-    quality_score) — the retained training set with its quality stats."""
-    from .textstats import content_fingerprint, quality_features
+    chain together: ONE corpus-sized shuffle total (the keep-first
+    window over the content fingerprint), a benchmark-bounded anti-join,
+    and pure projections/filters that fuse into the surrounding stages.
+    Output: (doc_id, lang, source, n_tokens, quality_score) — the
+    retained training set with its quality stats."""
+    from pyspark.sql import Window
 
-    fp = content_fingerprint(docs, id_col=id_col)
-    keep = (
-        fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
+    from .textstats import quality_features, tokens_col
+
+    # keep-first via ONE window over the content fingerprint (one corpus
+    # shuffle, vs groupBy + join-back which would cost two at 10^9 docs);
+    # row_number ordered by id keeps the min-id member of each dup group,
+    # identical to the oracle's min(doc_id) formulation
+    rn = F.row_number().over(
+        Window.partitionBy("_fp").orderBy(id_col)
     )
+    kept = (
+        docs.withColumn("_fp", F.md5(F.concat_ws(" ", tokens_col("text"))))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    # contamination set is benchmark-bounded → broadcast-able anti-join;
+    # quality features and the sample are pure projections/filters that
+    # fuse into the post-shuffle stage
     cont = decontaminate(docs, benchmark, n=n, id_col=id_col).select(id_col)
-    q = quality_features(docs, id_col=id_col)
+    q = quality_features(
+        kept.join(cont, id_col, "left_anti"),
+        id_col=id_col,
+        extra_cols=("lang", "source"),
+    )
     return (
-        docs.select(id_col, "lang", "source")
-        .join(keep, id_col, "left_semi")
-        .join(cont, id_col, "left_anti")
-        .join(q.select(id_col, "n_tokens", "quality_score"), id_col)
-        .filter(F.col("quality_score") >= quality_min)
+        q.filter(F.col("quality_score") >= quality_min)
         .filter(uniform_hash_col(F.col(id_col)) < F.lit(_threshold(sample_rate)))
+        .select(id_col, "lang", "source", "n_tokens", "quality_score")
     )
 
 

@@ -94,11 +94,17 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return out.select(F.col(id_col), pred.alias("pred_lang"))
 
 
-def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Length / punctuation / stopword-ratio features + a composite quality
     score in [0,1] — the heuristic-filter stage of a training-data pipeline
     (cf. the reference's completeness ranking, RankingServiceImpl.java:60-169,
-    which is the same shape: a weighted sum of when() clauses)."""
+    which is the same shape: a weighted sum of when() clauses).
+    ``extra_cols`` are passed through unchanged (appended last)."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -121,6 +127,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality_score"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
