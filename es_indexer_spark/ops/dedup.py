@@ -194,14 +194,11 @@ def _ngram_hashes_flat(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray
     numerically (position-weighted mix) — shingle strings are never built.
     Returns (flat_hashes, doc_lens); docs with <n tokens contribute one
     whole-doc hash (mirrors shingles_col's fallback)."""
-    from ..analysis import tokenize_series
+    from ..analysis import tokenize_codes
 
-    toks = tokenize_series(texts)
-    lens = toks.map(len).to_numpy(np.int64)
+    codes, uniq, lens = tokenize_codes(texts)
     if lens.sum() == 0:
         return np.zeros(0, np.uint64), np.where(lens >= 0, 0, 0)
-    flat = np.concatenate([np.asarray(t, object) for t in toks])
-    codes, uniq = pd.factorize(flat, sort=False)
     h = _stable_hash64(uniq)[codes]  # (total_tokens,) uint64
     # combine n consecutive token hashes, rotation-weighted per position
     comb = np.zeros(max(0, len(h) - (n - 1)), dtype=np.uint64)
