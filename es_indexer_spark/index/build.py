@@ -57,6 +57,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -174,7 +175,29 @@ def encode_flat(
     blk_mindl = np.minimum.reduceat(dls, bstarts).astype(np.int32)
     gid_vals = np.repeat(np.arange(len(gstarts)), glens)
     nblocks = np.bincount(gid_vals[bstarts], minlength=len(gstarts))
-    bsplit = np.cumsum(nblocks)[:-1]
+
+    # list/binary columns built DIRECTLY as Arrow arrays from (values,
+    # offsets) — zero per-group Python objects; np.split here cost ~50%
+    # of the whole map kernel at 10^5 groups/batch, the Arrow
+    # construction is ~10x cheaper and Spark's serializer consumes
+    # ArrowDtype pandas columns natively
+    ng = len(gstarts)
+
+    def _list_col(values: np.ndarray, counts: np.ndarray, patype):
+        offs = np.empty(ng + 1, dtype=np.int32)
+        offs[0] = 0
+        np.cumsum(counts, out=offs[1:])
+        la = pa.ListArray.from_arrays(pa.array(offs), pa.array(values, type=patype))
+        return pd.Series(la, dtype=pd.ArrowDtype(pa.list_(patype)))
+
+    def _bin_col(buf: np.ndarray, group_bytes: np.ndarray):
+        offs = np.empty(ng + 1, dtype=np.int32)
+        offs[0] = 0
+        np.cumsum(group_bytes, out=offs[1:])
+        ba = pa.BinaryArray.from_buffers(
+            pa.binary(), ng, [None, pa.py_buffer(offs), pa.py_buffer(buf)]
+        )
+        return pd.Series(ba, dtype=pd.ArrowDtype(pa.binary()))
 
     out = {
         "tbucket": tbuckets_g,
@@ -184,12 +207,12 @@ def encode_flat(
         "max_doc": docs[gends - 1],
         "df_chunk": glens.astype(np.int64),
         "sum_tf": np.add.reduceat(tfs.astype(np.int64), gstarts),
-        "doc_bytes": [bytes(doc_buf[o : o + l]) for o, l in zip(doc_off, doc_gb)],
-        "tf_bytes": [bytes(tf_buf[o : o + l]) for o, l in zip(tf_off, tf_gb)],
-        "block_last": np.split(blk_last, bsplit),
-        "block_max_tf": np.split(blk_maxtf, bsplit),
-        "block_min_dl": np.split(blk_mindl, bsplit),
-        "run_lens": [np.array([l], dtype=np.int64) for l in glens],
+        "doc_bytes": _bin_col(doc_buf, doc_gb),
+        "tf_bytes": _bin_col(tf_buf, tf_gb),
+        "block_last": _list_col(blk_last, nblocks, pa.int64()),
+        "block_max_tf": _list_col(blk_maxtf, nblocks, pa.int32()),
+        "block_min_dl": _list_col(blk_mindl, nblocks, pa.int32()),
+        "run_lens": _list_col(glens.astype(np.int64), np.ones(ng, np.int64), pa.int64()),
     }
     if with_positions:
         stream, out_doc_starts = _encode_positions_flat(
@@ -200,12 +223,9 @@ def encode_flat(
         # group g covers docs [gstarts[g], gends[g]) → stream slice between
         # the doc-start offsets of its first doc and the next group's first
         stream_starts = out_doc_starts[gstarts]
-        stream_ends = np.append(stream_starts[1:], len(stream))
         byte_pos = np.concatenate(([0], np.cumsum(p_nb)))
-        out["pos_bytes"] = [
-            bytes(p_buf[byte_pos[a] : byte_pos[b]])
-            for a, b in zip(stream_starts, stream_ends)
-        ]
+        bounds = byte_pos[np.append(stream_starts, len(stream))]
+        out["pos_bytes"] = _bin_col(p_buf, np.diff(bounds))
     return pd.DataFrame(out)[out_cols]
 
 
