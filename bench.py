@@ -187,12 +187,18 @@ def main() -> None:
         queries["q_sayt_suggest"] = round(float(np.median(lats)), 4)
 
         # ---- 4. pipeline ops ----------------------------------------------
-        from es_indexer_spark.ops import dedup, similarity
+        from es_indexer_spark.ops import cleaning, dedup, sampling, similarity
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t0 = time.time()
         dedup.minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=32).count()
         queries["op_minhash_dedup"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        cleaning.curate(
+            docs, sampling.hash_sample(docs, 0.05), quality_min=0.65, sample_rate=0.5
+        ).count()
+        queries["op_curation"] = round(time.time() - t0, 3)
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = emb.limit(1).toPandas()["embedding"].iloc[0]
