@@ -60,3 +60,34 @@ def test_broadcast_dim_join_is_broadcast(spark, sf_dir):
 
     plan = _plan(entry.queries()["rel_broadcast_dim_join"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    # the corpus side must never shuffle for the join: the benchmark
+    # n-gram set is the broadcast side by construction
+    from es_indexer_spark.ops import cleaning, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = sampling.hash_sample(docs, 0.1)
+    plan = _plan(cleaning.decontaminate(docs, bench, n=8))
+    assert "BroadcastExchange" in plan
+
+
+def test_curate_has_no_sort_merge_join(spark, sf_dir):
+    # keep-first is ONE window shuffle; every join must stay broadcast
+    from es_indexer_spark.ops import cleaning, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = sampling.hash_sample(docs, 0.05)
+    plan = _plan(cleaning.curate(docs, bench))
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_hash_sample_is_pure_pushed_filter(spark, sf_dir):
+    # deterministic sampling adds NO exchange — it is a filter at the scan
+    from es_indexer_spark.ops import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(sampling.hash_sample(docs, 0.25))
+    assert "Exchange" not in plan
