@@ -155,3 +155,38 @@ def test_suggest_vectorized_matches_scalar_on_testdata():
     got = suggest_tokens_series(texts)
     for i in range(len(texts)):
         assert got.iloc[i] == suggest_tokens_py(texts.iloc[i]), i
+
+
+def test_tokenize_codes_matches_tokenize_series():
+    import numpy as np
+
+    from es_indexer_spark.analysis import doc_lengths, tokenize_codes, tokenize_series
+
+    s = pd.Series(
+        [
+            "  héllo wörld_9 foo--bar ",
+            "",
+            None,
+            "...",
+            "a",
+            "日本語 テスト 123x",
+            "The THE the tokenizer LOWERCASES first",
+        ]
+    )
+    codes, uniq, lens = tokenize_codes(s)
+    lists = tokenize_series(s)
+    assert list(lens) == [int(len(t)) for t in lists]
+    # code stream reconstructs the exact token stream
+    flat = [t for toks in lists for t in toks]
+    assert list(uniq[codes]) == flat
+    # dl kernel agrees with both
+    assert list(doc_lengths(s)) == list(lens)
+    # distinct terms appear exactly once in the dictionary
+    assert len(set(uniq)) == len(uniq)
+
+
+def test_tokenize_codes_empty_and_all_punct():
+    from es_indexer_spark.analysis import tokenize_codes
+
+    codes, uniq, lens = tokenize_codes(pd.Series(["...", "——", ""]))
+    assert len(codes) == 0 and len(uniq) == 0 and list(lens) == [0, 0, 0]
