@@ -297,7 +297,7 @@ end-to-end single-box efficiency {summary['scaling_efficiency']}**
 host-tenancy dice; best window measured on this dataflow + input shape:
 **{best_hist['spark_efficiency'] if best_hist else summary['scaling_efficiency']}**
 ({best_hist['recorded_at'] if best_hist else 'this run'}, kernel probe
-{best_hist.get('kernel_probe_efficiency', '—') if best_hist else '—'};
+{(best_hist.get('kernel_probe_efficiency') or '—') if best_hist else '—'};
 full history below).
 
 Read the pairwise table alongside the measurement history below: on this
