@@ -321,7 +321,9 @@ processes — no JVM sharing the cores, no shuffle, no shared disk
 | {hi_c} | {probe_hi:,.0f} |
 
 **Kernel speedup {probe['speedup']}x → efficiency {probe['efficiency']}
-in this window** (0.985 — near-perfect — was measured in an earlier window today; history below).
+in this window** (0.985 — near-perfect — was measured in an earlier window; history below;
+a reading above 1 means the LOW-proc leg landed in a tenancy hole — the
+same noise from the other side — read the absolute legs instead).
 This is the number that transfers to a real cluster, where each executor
 group brings its own cores/memory/disks and the JVM does not time-share
 the Python workers' cores: the engine's data plane partitions perfectly —
