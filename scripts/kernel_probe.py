@@ -85,9 +85,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--secs", type=float, default=12.0)
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
     levels = [int(c) for c in args.levels.split(",")]
-    rates = {c: run_level(c, args.secs) for c in levels}
+    # best-of-reps per level: a single tenancy hole in either leg turns
+    # the ratio into an artifact (readings <0.5 AND >1 both observed);
+    # the max models what the window actually grants steady-state
+    rates = {
+        c: max(run_level(c, args.secs) for _ in range(args.reps))
+        for c in levels
+    }
     lo, hi = levels[0], levels[-1]
     out = {
         **{f"docs_per_sec[{c}]": round(rates[c], 1) for c in levels},
