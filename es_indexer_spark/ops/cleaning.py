@@ -6,10 +6,11 @@ All three are the shapes a 100 TB pipeline needs:
 - ``pii_scrub`` is pure JVM column expressions (regexp_extract_all /
   regexp_replace, whole-stage-codegen'd) — a linear scan, no shuffle,
   pushed next to the parquet read;
-- ``repetition_stats`` is likewise per-row column expressions (the
-  max-bigram mode is an O(distinct·len) in-row scan over token-capped
-  docs — bounded by the analyzer's 350-token circuit-breaker, cf.
-  portal_records_index_schema.json:65-68 — so still no shuffle);
+- ``repetition_stats`` is likewise per-row column expressions; the
+  max-bigram mode is computed as a run-length scan over the SORTED
+  bigram array — O(n log n) in the document's token count, so a 100k-
+  token web document costs one in-row sort, not the O(n^2)
+  distinct-times-all comparison a naive mode would — still no shuffle;
 - ``decontaminate`` joins the corpus against a benchmark n-gram set;
   benchmarks are small by definition (10^4-10^6 eval docs vs 10^9+
   training docs), so the n-gram set is broadcast and the operator is one
@@ -95,13 +96,45 @@ def sql_inject_pii(key: str = "doc_id", text: str = "text") -> str:
 
 
 def _bigrams(toks: Column) -> Column:
+    # <2 tokens → no bigrams (ratio reads 0.0: a one-word doc is not
+    # "maximally repetitive")
     return F.when(
         F.size(toks) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element — the mode's multiplicity —
+    computed as the longest run in the SORTED array: O(n log n) per row
+    (one in-row sort + ONE fold pass) instead of the O(distinct·n) scan
+    of comparing every distinct value against the whole array. A single
+    ``aggregate`` fold is used (not index-based ``element_at`` over a
+    position sequence) because higher-order-function lambdas re-evaluate
+    captured subexpressions per element — an indexed formulation silently
+    re-sorts the array n times. 0 on an empty array.
+
+    Fold invariant: elements are non-empty tokens, so the '' seed never
+    equals a real element and the first element always opens run=1."""
+    srt = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(srt, acc0, step)["best"]
 
 
 def repetition_stats(
@@ -109,29 +142,40 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-doc repetition signals (the Gopher/FineWeb-style quality
     heuristics): token repetition (1 − distinct/total), the most frequent
-    bigram's share of all bigrams, and duplicate-line fraction."""
-    toks = tokens_col(text_col)
-    bg = _bigrams(toks)
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
-    n_tok = F.size(toks)
+    bigram's share of all bigrams, and duplicate-line fraction.
+
+    Cost is O(n log n) in the doc's token count (the sorted-run-length
+    mode in ``_max_run_count``) — safe on arbitrarily long web documents.
+    Docs with <2 tokens have no bigrams and read 0.0, not 1.0.
+
+    The token/bigram arrays are materialized as intermediate projection
+    columns on purpose: a higher-order-function lambda re-evaluates any
+    captured subexpression PER ELEMENT, so inlining ``tokens_col`` into
+    the bigram ``transform`` re-runs the tokenizer n times per row — the
+    intermediate attributes keep every stage single-evaluation (and
+    Catalyst's CollapseProject leaves multiply-referenced non-cheap
+    expressions un-inlined)."""
+    toks_df = df.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        ).alias("_lines"),
+    ).withColumn("_bg", _bigrams(F.col("_toks")))
+    n_tok = F.size("_toks")
     token_rep = F.when(
-        n_tok > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok
+        n_tok > 0, F.lit(1.0) - F.size(F.array_distinct("_toks")) / n_tok
     ).otherwise(F.lit(0.0))
-    n_bg = F.size(bg)
-    max_bg = F.array_max(
-        F.transform(
-            F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x))
-        )
-    )
-    bigram_ratio = F.when(n_bg > 0, max_bg / n_bg).otherwise(F.lit(0.0))
-    n_lines = F.size(lines)
+    n_bg = F.size("_bg")
+    bigram_ratio = F.when(
+        n_bg > 0, _max_run_count(F.col("_bg")) / n_bg
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size("_lines")
     dup_lines = F.when(
-        n_lines > 0, F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+        n_lines > 0, F.lit(1.0) - F.size(F.array_distinct("_lines")) / n_lines
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return toks_df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(token_rep, 6).alias("token_rep_ratio"),
@@ -141,6 +185,10 @@ def repetition_stats(
 
 
 def sql_repetition_stats(table: str = "documents", text: str = "text") -> str:
+    # The oracle states the mode count directly (max over distinct of
+    # per-value count) — quadratic, but it only ever runs at oracle scale;
+    # the Spark side's sorted-run-length formulation is provably the same
+    # quantity. <2 tokens → empty bigram list → ratio 0.0 on both sides.
     return f"""
 with t as (
   select doc_id,
@@ -153,7 +201,7 @@ with t as (
          case when len(toks) >= 2 then
            list_transform(range(1, len(toks)),
                           i -> array_to_string(list_slice(toks, i, i + 1), ' '))
-         else [array_to_string(toks, ' ')] end as bg
+         else []::varchar[] end as bg
   from t
 )
 select doc_id,

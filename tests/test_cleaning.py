@@ -167,3 +167,36 @@ def test_decontaminate_benchmark_split_matches_sampling(spark):
     a = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1).select("doc_id").collect()}
     b = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1).select("doc_id").collect()}
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_repetition_short_docs_read_zero_not_one(spark):
+    """<2 tokens means no bigrams: the ratio must be 0.0 (a one-word or
+    empty doc is not 'maximally repetitive')."""
+    docs = _docs(spark, [("empty", ""), ("one", "hello"), ("two", "a a")])
+    got = {r["doc_id"]: r.asDict() for r in cleaning.repetition_stats(docs).collect()}
+    assert got["empty"]["max_bigram_ratio"] == 0.0
+    assert got["one"]["max_bigram_ratio"] == 0.0
+    assert got["two"]["max_bigram_ratio"] == 1.0  # single bigram "a a"
+
+
+def test_repetition_long_doc_is_not_quadratic(spark):
+    """Worst case for the old O(distinct·n) mode: a long doc of (mostly)
+    all-distinct tokens. 120k tokens would be ~1.4e10 comparisons under
+    the quadratic formulation (minutes); the sorted-run-length scan is one
+    in-row sort. Also pins the value against a straight Python count."""
+    import time
+    from collections import Counter
+
+    n = 120_000
+    toks = [f"w{i}" for i in range(n)]
+    toks[500:510] = ["rep"] * 10  # one genuinely repeated bigram zone
+    text = " ".join(toks)
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    expect = round(Counter(bigrams).most_common(1)[0][1] / len(bigrams), 6)
+
+    docs = _docs(spark, [("big", text)])
+    t0 = time.perf_counter()
+    row = cleaning.repetition_stats(docs).collect()[0]
+    wall = time.perf_counter() - t0
+    assert row["max_bigram_ratio"] == pytest.approx(expect, abs=1e-9)
+    assert wall < 30, f"long-doc repetition_stats took {wall:.1f}s (quadratic?)"
