@@ -453,11 +453,13 @@ class IndexSearcher:
     ) -> DataFrame:
         """Q4 match_all + stable sort + search_after keyset pagination
         (GeoNetworkServiceImpl.java:585-603). Predicate pushes to parquet;
-        no deep-offset skip. Deleted docs are masked (isin over the small
-        tombstone set; a compacting rebuild is the remedy when it grows)."""
-        df = self.doc_stats_df()
-        if len(self.tombstones):
-            df = df.filter(~F.col("doc_ord").isin([int(x) for x in self.tombstones]))
+        no deep-offset skip. Deleted docs are masked: IN-literal while the
+        tombstone set is small (pushes to the scan), broadcast anti-join
+        past ~10k so heavy churn never bloats the plan — a compacting
+        rebuild remains the durable remedy."""
+        from ..streaming.incremental import mask_tombstones
+
+        df = mask_tombstones(self.doc_stats_df(), self.tombstones)
         df = df.select("conv_id", "turn_idx", "doc_id", "role", "text")
         if cursor is not None:
             c, t = cursor

@@ -236,6 +236,35 @@ def load_tombstones(vdir: str) -> np.ndarray:
     return np.asarray(catalog.read_json(path)["doc_ords"], dtype=np.int64)
 
 
+# Above this many tombstones an IN-literal stops being the right plan:
+# the serialized literal list bloats the plan (and falls off the parquet
+# pushdown path), so the set becomes a broadcast anti-join instead.
+TOMBSTONE_ISIN_MAX = 10_000
+
+
+def mask_tombstones(df: DataFrame, tombstones, threshold: int = TOMBSTONE_ISIN_MAX) -> DataFrame:
+    """Filter tombstoned ``doc_ord`` rows out of a doc-keyed DataFrame.
+
+    Small sets inline as an IN-literal — cheap, and the predicate pushes
+    into the parquet scan. Past ``threshold`` (heavy churn, the exact
+    scenario compaction serves) the tombstone set ships as a broadcast
+    DataFrame and the mask is a BroadcastHashJoin LeftAnti: 8 B/ordinal,
+    so a million tombstones is an ~8 MB broadcast instead of a
+    million-element literal serialized into every task's plan."""
+    import pandas as pd
+
+    n = len(tombstones)
+    if n == 0:
+        return df
+    if n <= threshold:
+        return df.filter(~F.col("doc_ord").isin([int(x) for x in tombstones]))
+    spark = df.sparkSession
+    tomb = spark.createDataFrame(
+        pd.DataFrame({"doc_ord": np.asarray(tombstones, dtype=np.int64)})
+    )
+    return df.join(F.broadcast(tomb), "doc_ord", "left_anti")
+
+
 def upsert_docs(spark: SparkSession, df: DataFrame, index_dir: str) -> dict:
     """S11 single/multi-doc upsert: tombstone existing (conv_id, turn_idx)
     versions, then append the new turns (``_id``-keyed update semantics of
@@ -274,9 +303,7 @@ def rebuild_compacted(spark: SparkSession, index_dir: str, **build_kwargs) -> di
         raise FileNotFoundError(f"no published index in {index_dir}")
     manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
     tombs = load_tombstones(vdir)
-    live = spark.read.parquet(os.path.join(vdir, "doc_stats"))
-    if len(tombs):
-        live = live.filter(~F.col("doc_ord").isin([int(x) for x in tombs]))
+    live = mask_tombstones(spark.read.parquet(os.path.join(vdir, "doc_stats")), tombs)
     src = live.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     res = build_index(
         spark, src, index_dir,

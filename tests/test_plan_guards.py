@@ -91,3 +91,31 @@ def test_hash_sample_is_pure_pushed_filter(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(sampling.hash_sample(docs, 0.25))
     assert "Exchange" not in plan
+
+
+def test_tombstone_mask_small_set_is_inlined_literal(spark):
+    import numpy as np
+
+    from es_indexer_spark.streaming.incremental import mask_tombstones
+
+    df = spark.range(100).withColumnRenamed("id", "doc_ord")
+    plan = _plan(mask_tombstones(df, np.arange(5, dtype=np.int64)))
+    assert "LeftAnti" not in plan  # small set stays a pushed-down literal
+
+
+def test_tombstone_mask_heavy_churn_is_anti_join_not_in_literal(spark):
+    """~50k tombstones: the mask must be a broadcast anti-join; a 50k-
+    element IN-literal would serialize into every task and fall off the
+    pushdown path."""
+    import numpy as np
+
+    from es_indexer_spark.streaming.incremental import mask_tombstones
+
+    df = spark.range(100_000).withColumnRenamed("id", "doc_ord")
+    tombs = np.arange(0, 100_000, 2, dtype=np.int64)  # 50k tombstones
+    out = mask_tombstones(df, tombs)
+    plan = _plan(out)
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    # the giant literal never appears in the plan text
+    assert len(plan) < 100_000
+    assert out.count() == 50_000
