@@ -111,6 +111,85 @@ def _ft_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental-path churn entries --------------------------------------
+#
+# The reference's whole operating mode is incremental: month-batch appends,
+# _id-keyed upserts, deletes, then a blue/green reindex-all
+# (IndexerMetadataServiceImpl.java:415-474). These entries put that exact
+# lifecycle under the DuckDB value gate: build over 80% of the corpus,
+# APPEND the rest, UPSERT every doc_id%13==3 with a marker suffix, DELETE
+# every doc_id%7==0, REBUILD COMPACTED — then read term_df / BM25 top-k
+# OUT OF the compacted index. The oracle recomputes both from the post-
+# churn live rows (same modular arithmetic in SQL), so a single mis-
+# appended ordinal, missed tombstone or stale BM25 stat hash-mismatches.
+
+_UPSERT_MARK = " upserted marker alpha"
+
+
+def _churn_searcher(spark: SparkSession, sf_dir: str) -> "object":
+    from es_indexer_spark.corpus import documents_as_transcripts
+    from es_indexer_spark.index.build import build_index
+    from es_indexer_spark.query.engine import IndexSearcher
+    from es_indexer_spark.streaming import incremental as inc
+
+    key = f"churn:{sf_dir}"
+    idx_dir = _INDEX_CACHE.get(key)
+    if idx_dir is None or not os.path.exists(os.path.join(idx_dir, "CURRENT")):
+        idx_dir = tempfile.mkdtemp(prefix="es_churn_")
+        tx = documents_as_transcripts(spark, sf_dir)
+        key_num = F.col("conv_id").cast("long")
+        build_index(spark, tx.filter(key_num % 10 < 8), idx_dir,
+                    n_buckets=16, n_segments=4)
+        inc.append_batch(spark, tx.filter(key_num % 10 >= 8), idx_dir)
+        inc.upsert_docs(
+            spark,
+            tx.filter(key_num % 13 == 3).withColumn(
+                "text", F.concat(F.col("text"), F.lit(_UPSERT_MARK))
+            ),
+            idx_dir,
+        )
+        # delete AFTER upsert: overlapping ids (%7==0 and %13==3) end dead,
+        # matching the oracle's plain %7 filter. The id list is bounded by
+        # the churn batch (the reference's delete surface), not the corpus.
+        del_ids = [
+            f"{r['conv_id']}:0"
+            for r in tx.filter(key_num % 7 == 0).select("conv_id").collect()
+        ]
+        inc.delete_docs(spark, idx_dir, del_ids)
+        inc.rebuild_compacted(spark, idx_dir)
+        _INDEX_CACHE[key] = idx_dir
+    return IndexSearcher(spark, idx_dir)
+
+
+_SQL_LIVE_AFTER_CHURN = f"""(
+  select doc_id,
+         case when doc_id % 13 = 3 then text || '{_UPSERT_MARK}' else text end as text
+  from documents
+  where doc_id % 7 != 0
+)"""
+
+
+def _ft_churn_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary read out of the post-churn COMPACTED index."""
+    s = _churn_searcher(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(s.vdir, "term_stats"))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("total_tf").cast("long").alias("total_tf"))
+    )
+
+
+def _ft_churn_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k out of the post-churn compacted index: global stats (N,
+    avgdl, df) must equal a from-scratch build over the live rows."""
+    s = _churn_searcher(spark, sf_dir)
+    got = s.search(BM25_TERMS, k=BM25_K, strategy="blockmax")
+    out = got[["conv_id", "score"]].copy()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    out["score"] = out["score"].round(4)
+    return spark.createDataFrame(out[["doc_id", "score"]])
+
+
 def _ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-parallel cogroup scoring path, checked against the SAME full
     SQL BM25 oracle as the driver path (rank identity distributed == driver
@@ -125,17 +204,18 @@ def _ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKENS = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
 
 
-def _sql_bm25_topk() -> str:
+def _sql_bm25_topk(table: str = "documents") -> str:
     terms = ", ".join(repr(t) for t in BM25_TERMS)
     return f"""
-with tok as (
-  select doc_id, unnest({SQL_TOKENS}) as term from documents
+with src as (select * from {table}),
+tok as (
+  select doc_id, unnest({SQL_TOKENS}) as term from src
 ), dl as (
   select doc_id, count(*)::double as dl from tok group by 1
 ), stats as (
-  select (select count(*) from documents)::double as n,
+  select (select count(*) from src)::double as n,
          (select coalesce(sum(dl), 0) from dl)
-           / (select count(*) from documents)::double as avgdl
+           / (select count(*) from src)::double as avgdl
 ), tf as (
   select doc_id, term, count(*)::double as tf
   from tok where term in ({terms}) group by 1, 2
@@ -691,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_corpus_stats": _ft_corpus_stats,
         "ft_doc_lengths": _ft_doc_lengths,
         "ft_bm25_topk_distributed": _ft_bm25_topk_distributed,
+        "ft_churn_term_df": _ft_churn_term_df,
+        "ft_churn_bm25_topk": _ft_churn_bm25_topk,
         # relational operators (SURVEY §2)
         "rel_groupby_count": _rel_groupby_count,
         "rel_anti_join": _rel_anti_join,
@@ -756,6 +838,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ft_bm25_topk": _sql_bm25_topk(),
         "ft_bm25_topk_distributed": _sql_bm25_topk(),
+        "ft_churn_bm25_topk": _sql_bm25_topk(table=_SQL_LIVE_AFTER_CHURN),
+        "ft_churn_term_df": f"""
+            select term, count(distinct doc_id)::bigint as df,
+                   count(*)::bigint as total_tf
+            from (select doc_id, unnest({SQL_TOKENS}) as term
+                  from {_SQL_LIVE_AFTER_CHURN})
+            group by term
+        """,
         "ft_term_df": f"""
             select term, count(distinct doc_id)::bigint as df,
                    count(*)::bigint as total_tf
