@@ -38,6 +38,22 @@ def test_connected_components_long_chain_converges(spark):
     assert got.count() == 13
 
 
+def test_connected_components_10k_chain_logarithmic_rounds(spark):
+    """A 10^4-node chain is the worst case for pure hop propagation
+    (diameter 10^4 would blow any sane round budget); pointer doubling
+    must close it in O(log diameter) rounds. Pins both the answer (one
+    component labeled 0) and the round count."""
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = clustering.connected_components(pairs, max_iter=40)
+    labels = got.select("cluster_id").distinct().collect()
+    assert [r[0] for r in labels] == [0]
+    assert got.count() == n
+    assert got._n_rounds <= 20, f"took {got._n_rounds} rounds (no doubling?)"
+
+
 def test_dup_clusters_covers_singletons(spark):
     docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
     pairs = spark.createDataFrame([(1, 5), (5, 7)], "id_a long, id_b long")
