@@ -61,7 +61,10 @@ _DEDUP_OUT = T.StructType(
 # operator runs against the RocksDB state store
 # (spark.sql.streaming.stateStore.providerClass=
 #  ...RocksDBStateStoreProvider) so state lives on executor disk, not heap;
-# the plumbing here is identical either way.
+# the plumbing is identical either way — TESTED on both providers
+# (tests/test_streaming_operators.py::test_streaming_dedup_on_rocksdb_state_store
+# asserts the same dedup semantics AND that the checkpoint carries RocksDB
+# artifacts, so the claim is exercised, not noted).
 _DEDUP_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
 
 

@@ -219,3 +219,51 @@ def test_streaming_dedup_ttl_end_to_end(spark, tmp_path):
     keys = set(map(tuple, out[["conv_id", "turn_idx"]].values))
     assert ("a", 0) in keys
     assert ("d", 0) in keys  # re-admitted: state for its bucket was TTL'd
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The operator's scale story says it runs unchanged against the
+    RocksDB state store (state on executor disk, not heap). Prove the
+    claim: the same cross-micro-batch dedup assertions pass with
+    spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider
+    (ships in pyspark — no extra jars)."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, provider)
+    try:
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        _write_batch(spark, src, [
+            _row("a", 0, "the quick fox", 0),
+            _row("b", 0, "THE  quick   FOX", 0),  # same normalized fingerprint
+        ], order=1)
+        _write_batch(spark, src, [
+            _row("c", 0, "the quick fox", 0),     # cross-batch dup
+            _row("c", 1, "genuinely new", 0),
+        ], order=2)
+        out = _run_stream(
+            spark, src, str(tmp_path / "ck"),
+            lambda s: streaming_dedup(s, n_buckets=8),
+            "dedup_rocksdb_out", "append",
+        ).toPandas()
+        assert out["fingerprint"].is_unique
+        keys = set(map(tuple, out[["conv_id", "turn_idx"]].values))
+        assert keys == {("a", 0), ("c", 1)}
+        # the query really ran on RocksDB: the checkpoint state dir carries
+        # RocksDB artifacts (zip per version), not the HDFS provider's .delta
+        import glob
+
+        files = glob.glob(str(tmp_path / "ck" / "state" / "**" / "*"), recursive=True)
+        assert any(f.endswith(".zip") for f in files), files[:10]
+        assert not any(f.endswith(".delta") for f in files)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
