@@ -1,18 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode libraries (Pillow, ffmpeg, torchaudio, …) are NOT in this
-container, so the codec step is stubbed two ways, clearly marked:
+The native decode libraries (Pillow, ffmpeg, torchaudio, …) are NOT in
+this container; the codec layer is split three ways, clearly marked:
 
+- ``decode_real`` decodes REAL file formats stdlib-only: uncompressed
+  24-bit BMP and mono PCM WAV round-trip through actual bytes
+  (``encode_bmp``/``decode_bmp``, ``encode_wav``/``decode_wav``) — no
+  fake headers involved;
 - ``decode_media`` parses a deterministic 24-byte header we synthesize —
-  REAL Spark plumbing (schema, batch shape, partitioning) with a fake
-  codec;
-- ``decode_real`` raises NotImplementedError where the real library call
-  goes.
+  REAL Spark plumbing (schema, batch shape, partitioning) with a toy
+  codec, useful for exercising video metadata which has no stdlib
+  format;
+- compressed formats (JPEG/PNG/MP4) genuinely require native codecs and
+  raise NotImplementedError inside ``decode_real``'s sniffing.
 
-Everything else — schemas, batched UDF signatures, feature extraction
-shape, frame sampling arithmetic — is real and tested, so swapping in a
-real codec is a one-function change.
+Schemas, batched UDF signatures, feature extraction shape and frame
+sampling arithmetic are shared by all three paths.
 """
 
 from __future__ import annotations
@@ -103,12 +107,116 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, META_SCHEMA)
 
 
-def decode_real(df: DataFrame) -> DataFrame:
-    """Where the real codec goes (Pillow / ffmpeg are not installed in
-    this environment)."""
-    raise NotImplementedError(
-        "real media decode requires Pillow/ffmpeg; use decode_media (stub codec)"
+# ---------------------------------------------------------------------------
+# REAL file formats, stdlib-only: uncompressed 24-bit BMP and PCM WAV are
+# fully specified header+raster/sample layouts — struct + numpy decode them
+# without Pillow/ffmpeg. Compressed formats (JPEG/PNG/MP4/...) genuinely
+# need native codecs and stay behind NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a real
+    uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row
+    padding) — byte-identical to what any paint program would read."""
+    if pixels.ndim == 2:
+        pixels = np.repeat(pixels[:, :, None], 3, axis=2)
+    h, w, _ = pixels.shape
+    row_nbytes = (w * 3 + 3) & ~3
+    raster = np.zeros((h, row_nbytes), dtype=np.uint8)
+    # BMP stores BGR, bottom row first
+    raster[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    data = raster.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) RGB uint8 array."""
+    magic, _, _, _, off = struct.unpack_from("<2sIHHI", buf, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP file")
+    hsz, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    row_nbytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(buf, dtype=np.uint8, offset=off, count=h * row_nbytes)
+    img = raster.reshape(h, row_nbytes)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return img[::-1] if flip else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a real PCM WAV file (RIFF/fmt/data)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
     )
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV file to (int16 samples, sample_rate); walks the
+    RIFF chunk list, so extra chunks (LIST/INFO) are tolerated."""
+    riff, _, wave = struct.unpack_from("<4sI4s", buf, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, sz = struct.unpack_from("<4sI", buf, pos)
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, pos + 8)
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError("only mono 16-bit PCM WAV")
+        elif cid == b"data":
+            samples = np.frombuffer(buf, dtype="<i2", offset=pos + 8, count=sz // 2)
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, rate
+
+
+def decode_real(df: DataFrame) -> DataFrame:
+    """Decode REAL file formats from the binary column, stdlib-only:
+    uncompressed 24-bit BMP (→ width/height) and mono PCM WAV
+    (→ sample_rate/n_frames), sniffed by magic bytes. Same Arrow-batched
+    ``mapInPandas`` shape and META_SCHEMA as ``decode_media``. Formats
+    that need native codecs (JPEG/PNG/MP4 — Pillow/ffmpeg are not in
+    this container) raise NotImplementedError per row, which surfaces as
+    the task error a real pipeline would route to a quarantine sink."""
+
+    def _meta(buf: bytes):
+        if buf[:2] == b"BM":
+            img = decode_bmp(buf)
+            return "image", img.shape[1], img.shape[0], None, 1
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            samples, rate = decode_wav(buf)
+            return "audio", None, None, rate, len(samples)
+        raise NotImplementedError(
+            "unrecognized media format (JPEG/PNG/MP4 need Pillow/ffmpeg)"
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            metas = [_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                    "sample_rate": [m[3] for m in metas],
+                    "n_frames": [m[4] for m in metas],
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, META_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(

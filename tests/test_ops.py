@@ -280,8 +280,56 @@ def test_multimodal_plumbing(spark):
     np.testing.assert_allclose([np.sum(f) for f in feats["feature"]], 1.0, atol=1e-3)
     frames = multimodal.sample_frames(media, every_n=8).toPandas()
     assert (frames["frame_idx"] % 8 == 0).all()
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_real(media)
+    # synthetic-header payloads are not a real format: decode_real's
+    # sniffer rejects them per row (surfaces as the task error a real
+    # pipeline routes to a quarantine sink)
+    with pytest.raises(Exception, match="unrecognized media format"):
+        multimodal.decode_real(media).collect()
+
+
+def test_decode_real_bmp_wav_roundtrip(spark):
+    """REAL file formats, no Pillow/ffmpeg: deterministic pixels/samples →
+    stdlib BMP/WAV encoders → REAL bytes through a binary Spark column →
+    decode_real metadata AND exact payload recovery."""
+    import pandas as pd
+
+    rows = []
+    for mid in range(6):
+        rng = np.random.default_rng(100 + mid)
+        if mid % 2 == 0:
+            w, h = 5 + mid, 7 + mid  # odd widths exercise BMP row padding
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append((mid, multimodal.encode_bmp(px), ("image", w, h, None, 1)))
+        else:
+            n, rate = 50 + mid, 8000 * (mid % 3 + 1)
+            samples = rng.integers(-3000, 3000, size=n).astype(np.int16)
+            rows.append((mid, multimodal.encode_wav(samples, rate),
+                         ("audio", None, None, rate, n)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [r[0] for r in rows],
+                      "payload": [r[1] for r in rows]})
+    )
+    meta = multimodal.decode_real(df).toPandas().set_index("media_id")
+    for mid, payload, (kind, w, h, rate, nf) in rows:
+        m = meta.loc[mid]
+        assert m["kind"] == kind and m["n_bytes"] == len(payload)
+        if kind == "image":
+            assert (m["width"], m["height"]) == (w, h)
+        else:
+            assert (m["sample_rate"], m["n_frames"]) == (rate, nf)
+    # exact payload recovery through the byte round trip
+    rng = np.random.default_rng(100)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
+    rng = np.random.default_rng(101)
+    samples = rng.integers(-3000, 3000, size=51).astype(np.int16)
+    back, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(back, samples)
+    # grayscale encode replicates to RGB
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    dec = multimodal.decode_bmp(multimodal.encode_bmp(gray))
+    assert (dec[:, :, 0] == gray).all() and (dec[:, :, 1] == gray).all()
 
 
 def test_image_block_means_binary_roundtrip(spark, docs):
