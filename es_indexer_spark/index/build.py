@@ -183,17 +183,29 @@ def encode_flat(
     # ArrowDtype pandas columns natively
     ng = len(gstarts)
 
+    def _offsets32(counts: np.ndarray, what: str) -> np.ndarray:
+        # Arrow binary/list offsets are int32: prove the batch fits BEFORE
+        # the downcast — a silent cumsum wrap would corrupt postings with
+        # no error. One Arrow batch past 2 GiB means the upstream
+        # partitioning is wrong (maxRecordsPerBatch / shuffle partitions),
+        # so fail loudly with the remedy.
+        c64 = np.concatenate(([0], np.cumsum(counts, dtype=np.int64)))
+        if c64[-1] >= 2**31:
+            raise ValueError(
+                f"encoded {what} exceed int32 Arrow offsets in one batch "
+                f"({c64[-1]} bytes/items): lower "
+                f"spark.sql.execution.arrow.maxRecordsPerBatch or raise "
+                f"shuffle partitions"
+            )
+        return c64.astype(np.int32)
+
     def _list_col(values: np.ndarray, counts: np.ndarray, patype):
-        offs = np.empty(ng + 1, dtype=np.int32)
-        offs[0] = 0
-        np.cumsum(counts, out=offs[1:])
+        offs = _offsets32(counts, "list items")
         la = pa.ListArray.from_arrays(pa.array(offs), pa.array(values, type=patype))
         return pd.Series(la, dtype=pd.ArrowDtype(pa.list_(patype)))
 
     def _bin_col(buf: np.ndarray, group_bytes: np.ndarray):
-        offs = np.empty(ng + 1, dtype=np.int32)
-        offs[0] = 0
-        np.cumsum(group_bytes, out=offs[1:])
+        offs = _offsets32(group_bytes, "binary bytes")
         ba = pa.BinaryArray.from_buffers(
             pa.binary(), ng, [None, pa.py_buffer(offs), pa.py_buffer(buf)]
         )
