@@ -199,21 +199,33 @@ def assign_doc_ordinals(
         offsets[pid] = acc
         acc += counts[pid]
 
-    schema = T.StructType(part.schema.fields + [T.StructField("doc_ord", T.LongType(), False)])
-
-    def enumerate_partition(batches):
-        seen: dict[int, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            start = offsets[pid] + seen.get(pid, 0)
-            pdf = pdf.copy()
-            pdf["doc_ord"] = np.arange(start, start + len(pdf), dtype=np.int64)
-            seen[pid] = seen.get(pid, 0) + len(pdf)
-            yield pdf
-
-    out = part.mapInPandas(enumerate_partition, schema).drop("_pid")
+    # enumeration is pure JVM (whole-stage-codegen'd): Spark's
+    # monotonically_increasing_id is (partition_id << 33) + local row
+    # counter in partition order, so the within-partition index is
+    # mid & (2^33 - 1) and doc_ord = exclusive-prefix-sum offset + index.
+    # This replaces the former mapInPandas enumeration pass — the ordinal
+    # stage's flattest-scaling component in the 8→32 decomposition
+    # (ORDINALS_DECOMP.json) — with a column expression: no Python
+    # workers, no Arrow round trip, same deterministic ordinals (cached
+    # partition content and order are fixed by the shuffle+sort above,
+    # or by the caller's assume_sorted contract).
+    local_mask = (1 << 33) - 1
+    if counts:
+        off_map = F.create_map(
+            *[x for pid in sorted(counts) for x in (F.lit(pid), F.lit(offsets[pid]))]
+        )
+    else:  # empty input: no partitions have rows, expression never fires
+        off_map = F.create_map(F.lit(-1), F.lit(0))
+    out = (
+        part.withColumn(
+            "doc_ord",
+            (
+                F.element_at(off_map, F.col("_pid"))
+                + F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask))
+            ).cast("long"),
+        )
+        .drop("_pid")
+    )
     # let callers release the cached shuffle once downstream stages are
     # materialized (build_index unpersists after doc_stats is written);
     # total count rides along for free (sum of per-partition counts)
