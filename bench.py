@@ -223,6 +223,48 @@ def main() -> None:
         similarity.cosine_topk_arrow(emb, qv, k=10).collect()
         queries["op_cosine_topk"] = round(time.time() - t0, 3)
 
+        # ---- 5. sf1-scale distributed query suite -------------------------
+        # At sf0.1 (~200k turns) the distributed top-k is dominated by job
+        # scheduling (~1.2 s for k rows), so the bench cannot see query-path
+        # regressions. This section builds a ~2M-turn index (deterministic
+        # synthetic corpus, sorted-input fast path — the production table
+        # layout) and measures the segment-parallel cogroup path with
+        # p50/p95 over several query shapes at a scale where per-segment
+        # work dominates scheduling.
+        from es_indexer_spark.corpus import _vocabulary
+
+        big_convs = int(os.environ.get("SPARK_GRAFT_BIG_CONVS", "200000"))
+        big_dir = tempfile.mkdtemp(prefix="bench_big_")
+        big = synth_transcripts(spark, n_convs=big_convs, turns_per_conv=10, seed=42)
+        t0 = time.time()
+        res_big = build_index(spark, big, big_dir, n_buckets=64, input_sorted=True)
+        queries["big_index_build"] = round(time.time() - t0, 3)
+        out["big_n_turns"] = res_big.n_docs
+        out["big_turns_per_sec"] = round(res_big.n_docs / queries["big_index_build"], 1)
+
+        v = _vocabulary()
+        big_queries = [
+            ("hot_or", [str(v[0]), "the"], "or"),
+            ("mid_and", [str(v[5]), str(v[9]), str(v[17])], "and"),
+            ("rare_or", [str(v[3000]), str(v[4000])], "or"),
+        ]
+        sbig = IndexSearcher(spark, big_dir)
+        t0 = time.time()
+        sbig.search_df([str(v[0])], k=10).collect()  # cold: doc-side cache
+        queries["q_big_distributed_cold"] = round(time.time() - t0, 3)
+        big_lats = []
+        for qname, terms, mode in big_queries:
+            lats = []
+            for _ in range(7):
+                t0 = time.time()
+                sbig.search_df(terms, k=10, mode=mode).collect()
+                lats.append(time.time() - t0)
+            queries[f"q_big_{qname}"] = round(float(np.median(lats)), 3)
+            big_lats.extend(lats)
+        out["big_query_p50_ms"] = round(float(np.percentile(big_lats, 50)) * 1000, 1)
+        out["big_query_p95_ms"] = round(float(np.percentile(big_lats, 95)) * 1000, 1)
+        sbig.close()
+
     out.update(
         {
             "metric": "index_build_plus_query_suite_wall",
