@@ -122,6 +122,17 @@ class IndexSearcher:
         self._chunk_cache: dict[str, pd.DataFrame] = {}
         self._df_cache: dict[str, int] = {}
         self._doc_side_df: DataFrame | None = None
+        # Spark-side source DataFrames are opened ONCE per searcher (the
+        # analogue of Lucene's long-lived segment readers): re-calling
+        # spark.read.parquet per query re-lists the index's files and
+        # re-reads footers — ~40% of warm distributed-query latency at
+        # 500k docs, and unbounded listing cost on a 10^5-file index.
+        # A searcher is bound to one index version, so the cached
+        # InMemoryFileIndex can never go stale (appends publish through a
+        # NEW searcher).
+        self._postings_src: DataFrame | None = None
+        self._doc_stats_src: DataFrame | None = None
+        self._term_stats_src: DataFrame | None = None
         # corpora larger than this auto-dispatch search/count/phrase/suggest
         # to the distributed path (driver path holds O(corpus) norms)
         self.driver_max_docs = int(os.environ.get("ES_IDX_DRIVER_MAX_DOCS", 20_000_000))
@@ -437,7 +448,11 @@ class IndexSearcher:
 
     # ------------------------------------------------------ scan/point ops
     def doc_stats_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.vdir, "doc_stats"))
+        if self._doc_stats_src is None:
+            self._doc_stats_src = self.spark.read.parquet(
+                os.path.join(self.vdir, "doc_stats")
+            )
+        return self._doc_stats_src
 
     def get(self, doc_id: str) -> pd.DataFrame:
         """Q1 ids lookup (point fetch, parquet predicate pushdown).
@@ -490,7 +505,7 @@ class IndexSearcher:
                 got.update(dict(zip(sub["term"], sub["df"].astype(int))))
             else:
                 rows = (
-                    self.spark.read.parquet(os.path.join(self.vdir, "term_stats"))
+                    self._term_stats_sdf()
                     .filter(F.col("term").isin(missing))
                     .select("term", "df")
                     .collect()
@@ -526,8 +541,12 @@ class IndexSearcher:
 
     def _postings_df(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        if self._postings_src is None:
+            self._postings_src = self.spark.read.parquet(
+                os.path.join(self.vdir, "postings")
+            )
         return (
-            self.spark.read.parquet(os.path.join(self.vdir, "postings"))
+            self._postings_src
             .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
             .select(*self._posting_cols())
         )
@@ -764,7 +783,11 @@ class IndexSearcher:
 
     # ---------------------------------------- distributed dictionary expansion
     def _term_stats_sdf(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.vdir, "term_stats"))
+        if self._term_stats_src is None:
+            self._term_stats_src = self.spark.read.parquet(
+                os.path.join(self.vdir, "term_stats")
+            )
+        return self._term_stats_src
 
     def expand_prefix_df(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Prefix expansion as a pruned Spark filter over the term-sorted
