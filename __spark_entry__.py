@@ -111,6 +111,64 @@ def _ft_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- phrase entries (positional index) -----------------------------------
+#
+# match_phrase was previously pytest-only ("position-aware adjacency is
+# impractical in one SQL statement") — but adjacency of a two-term phrase
+# IS one SQL statement: a doc matches iff its token-bigram list contains
+# the phrase. These entries build a WITH-POSITIONS index and check the
+# full positional pipeline (position encode → varint stream → decode →
+# adjacency intersect) on BOTH execution paths against that oracle.
+
+_PHRASE = "table hash"
+
+
+def _pos_searcher(spark: SparkSession, sf_dir: str) -> "object":
+    from es_indexer_spark.corpus import documents_as_transcripts
+    from es_indexer_spark.index.build import build_index
+    from es_indexer_spark.query.engine import IndexSearcher
+
+    key = f"pos:{sf_dir}"
+    idx_dir = _INDEX_CACHE.get(key)
+    if idx_dir is None or not os.path.exists(os.path.join(idx_dir, "CURRENT")):
+        idx_dir = tempfile.mkdtemp(prefix="es_pos_")
+        tx = documents_as_transcripts(spark, sf_dir)
+        build_index(spark, tx, idx_dir, n_buckets=16, n_segments=4,
+                    with_positions=True)
+        _INDEX_CACHE[key] = idx_dir
+    return IndexSearcher(spark, idx_dir)
+
+
+def _ft_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-path match_phrase: every doc where the phrase terms occur
+    adjacently in order, out of the positional postings."""
+    s = _pos_searcher(spark, sf_dir)
+    got = s.phrase_search(_PHRASE, k=1_000_000)
+    out = got[["conv_id"]].copy()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    return spark.createDataFrame(out[["doc_id"]])
+
+
+def _ft_phrase_hits_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-parallel match_phrase (cogroup path), same oracle."""
+    s = _pos_searcher(spark, sf_dir)
+    return s.phrase_search_df(_PHRASE, k=1_000_000).select(
+        F.col("conv_id").cast("long").alias("doc_id")
+    )
+
+
+def _sql_phrase_hits() -> str:
+    return f"""
+with tok as (
+  select doc_id, {SQL_TOKENS} as t from documents
+)
+select doc_id from tok
+where len(t) >= 2 and list_contains(
+  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]),
+  '{_PHRASE}')
+"""
+
+
 # ---- incremental-path churn entries --------------------------------------
 #
 # The reference's whole operating mode is incremental: month-batch appends,
@@ -773,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_distributed": _ft_bm25_topk_distributed,
         "ft_churn_term_df": _ft_churn_term_df,
         "ft_churn_bm25_topk": _ft_churn_bm25_topk,
+        "ft_phrase_hits": _ft_phrase_hits,
+        "ft_phrase_hits_distributed": _ft_phrase_hits_distributed,
         # relational operators (SURVEY §2)
         "rel_groupby_count": _rel_groupby_count,
         "rel_anti_join": _rel_anti_join,
@@ -839,6 +899,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": _sql_bm25_topk(),
         "ft_bm25_topk_distributed": _sql_bm25_topk(),
         "ft_churn_bm25_topk": _sql_bm25_topk(table=_SQL_LIVE_AFTER_CHURN),
+        "ft_phrase_hits": _sql_phrase_hits(),
+        "ft_phrase_hits_distributed": _sql_phrase_hits(),
         "ft_churn_term_df": f"""
             select term, count(distinct doc_id)::bigint as df,
                    count(*)::bigint as total_tf
