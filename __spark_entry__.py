@@ -21,11 +21,14 @@ Query groups:
   ``tp_minhash_precision``), LSH/IVF ANN top-k (approximate by design;
   ``tp_ann_exhaustive`` / ``tp_ivf_exhaustive`` prove both machineries
   exact at full probes), LSH embedding dups (subset-of-exact
-  pytest-proven). Phrase
-  and suggest counts stay pytest-only (position-aware adjacency and
-  dictionary expansion are impractical to restate in one SQL statement;
-  COVERAGE.md notes this) — everything else, including the distributed
-  BM25 path and SimHash pairs, is DuckDB-oracle-checked.
+  pytest-proven). Only the SAYT
+  shingle-analyzer suggest flow stays pytest-only (its analyzer chain is
+  impractical to restate in one SQL statement; COVERAGE.md notes this) —
+  everything else, including match_phrase on both execution paths
+  (``ft_phrase_hits*``, the bigram-contains oracle), prefix/fuzzy
+  dictionary expansion (``ft_prefix_expansion``/``ft_fuzzy_expansion``),
+  the incremental churn lifecycle (``ft_churn_*``), the distributed BM25
+  path and SimHash pairs, is DuckDB-oracle-checked.
 """
 
 from __future__ import annotations
@@ -166,6 +169,69 @@ select doc_id from tok
 where len(t) >= 2 and list_contains(
   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]),
   '{_PHRASE}')
+"""
+
+
+# ---- dictionary-expansion entries ----------------------------------------
+#
+# The Spark-side halves of Q6 suggest that ARE SQL-expressible: prefix
+# expansion (StringStartsWith pushed into the term_stats scan) and
+# fuzzy-AUTO expansion (length band + levenshtein, both JVM-side).
+# Entries return (term, df) for the expansion set, so the hash checks
+# selection, document frequencies, and the df-desc/term-asc cutoff
+# ordering against DuckDB's identical levenshtein/like semantics. Only
+# the SAYT shingle-analyzer chain remains pytest-proven.
+
+_PREFIX_Q = "s"
+_FUZZY_Q = "scann"  # not in the vocabulary; AUTO(5 chars) = 1 edit
+
+
+def _expansion_df(spark, s, terms: list[str]) -> DataFrame:
+    import pandas as pd
+
+    td = s._term_stats_sdf()
+    out = (
+        td.filter(F.col("term").isin(terms))
+        .select("term", F.col("df").cast("long").alias("df"))
+        if terms
+        else spark.createDataFrame(pd.DataFrame({"term": [], "df": []}))
+    )
+    return out
+
+
+def _ft_prefix_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _index_for(spark, sf_dir)
+    return _expansion_df(spark, s, s.expand_prefix_df(_PREFIX_Q, max_expansions=50))
+
+
+def _ft_fuzzy_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _index_for(spark, sf_dir)
+    return _expansion_df(spark, s, s.expand_fuzzy_df(_FUZZY_Q, max_expansions=50))
+
+
+def _sql_term_table() -> str:
+    return f"""
+  select term, count(distinct doc_id)::bigint as df
+  from (select doc_id, unnest({SQL_TOKENS}) as term from documents)
+  group by term
+"""
+
+
+def _sql_prefix_expansion() -> str:
+    return f"""
+with t as ({_sql_term_table()})
+select term, df from t where term like '{_PREFIX_Q}%'
+order by df desc, term asc limit 50
+"""
+
+
+def _sql_fuzzy_expansion() -> str:
+    return f"""
+with t as ({_sql_term_table()})
+select term, df from t
+where length(term) between {len(_FUZZY_Q) - 1} and {len(_FUZZY_Q) + 1}
+  and levenshtein(term, '{_FUZZY_Q}') <= 1
+order by df desc, term asc limit 50
 """
 
 
@@ -833,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_churn_bm25_topk": _ft_churn_bm25_topk,
         "ft_phrase_hits": _ft_phrase_hits,
         "ft_phrase_hits_distributed": _ft_phrase_hits_distributed,
+        "ft_prefix_expansion": _ft_prefix_expansion,
+        "ft_fuzzy_expansion": _ft_fuzzy_expansion,
         # relational operators (SURVEY §2)
         "rel_groupby_count": _rel_groupby_count,
         "rel_anti_join": _rel_anti_join,
@@ -901,6 +969,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_churn_bm25_topk": _sql_bm25_topk(table=_SQL_LIVE_AFTER_CHURN),
         "ft_phrase_hits": _sql_phrase_hits(),
         "ft_phrase_hits_distributed": _sql_phrase_hits(),
+        "ft_prefix_expansion": _sql_prefix_expansion(),
+        "ft_fuzzy_expansion": _sql_fuzzy_expansion(),
         "ft_churn_term_df": f"""
             select term, count(distinct doc_id)::bigint as df,
                    count(*)::bigint as total_tf
