@@ -514,24 +514,85 @@ class IndexSearcher:
             self._df_cache.update(got)
         return {t: self._df_cache[t] for t in terms}
 
+    _DOC_SIDE_SCHEMA = (
+        "seg int, base long, n_docs int, dl_bytes binary, "
+        "role_bytes binary, tool_bytes binary"
+    )
+
     def _doc_side(self) -> DataFrame:
         """Seg-partitioned, persisted doc norms for the distributed path —
-        the executor-resident analogue of Lucene's per-shard norms: the
-        exchange is paid once per searcher, and because the cached
-        HashPartitioning on seg matches the cogroup's required
-        distribution, repeated queries skip the doc-side shuffle (~40%
-        off warm distributed-query latency measured at sf0.1). Spread
-        across executors at scale (MEMORY_AND_DISK). A searcher is bound
-        to one index version; construct a fresh one after appends."""
+        the executor-resident analogue of Lucene's per-shard NORMS FILE:
+        ONE packed row per segment (base ordinal + int32 dl array + int16
+        role/tool code arrays as binary blobs) instead of one Arrow row
+        per document. Per-query transfer is then ~8 B/doc of packed bytes
+        with zero per-row Arrow/pandas overhead — at 10^9 docs the
+        row-per-doc layout would stream the entire norms table through
+        Python on EVERY query. The pack is paid once per searcher; the
+        persisted HashPartitioning on seg matches the cogroup's required
+        distribution, so repeated queries skip the doc-side shuffle
+        entirely. Packing relies on the build invariant that each segment
+        covers a dense doc_ord range (asserted per segment).
+
+        Role/tool values are dictionary-encoded with searcher-level code
+        maps (collected once from the bounded categorical columns); the
+        scoring kernel turns query-time boost dicts into O(#codes) lookup
+        tables. A searcher is bound to one index version; construct a
+        fresh one after appends."""
         if self._doc_side_df is None:
+            ds = self.doc_stats_df().select("seg", "doc_ord", "dl", "role", "tool")
+            roles = sorted(
+                r["role"] for r in ds.select("role").distinct().collect()
+                if r["role"] is not None
+            )
+            tools = sorted(
+                r["tool"] for r in ds.select("tool").distinct().collect()
+                if r["tool"] is not None
+            )
+            self._role_codes = {v: i + 1 for i, v in enumerate(roles)}  # 0 = null
+            self._tool_codes = {v: i + 1 for i, v in enumerate(tools)}
+            role_codes, tool_codes = self._role_codes, self._tool_codes
+
+            def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("doc_ord")
+                ords = pdf["doc_ord"].to_numpy(np.int64)
+                base, n_rows = int(ords[0]), len(ords)
+                assert int(ords[-1]) - base + 1 == n_rows, (
+                    f"segment {key[0]} doc_ord range not dense"
+                )
+                return pd.DataFrame(
+                    [
+                        {
+                            "seg": int(key[0]),
+                            "base": base,
+                            "n_docs": n_rows,
+                            "dl_bytes": pdf["dl"].to_numpy(np.int32)
+                            .astype("<i4").tobytes(),
+                            "role_bytes": pdf["role"].map(role_codes)
+                            .fillna(0).to_numpy(np.int16).astype("<i2").tobytes(),
+                            "tool_bytes": pdf["tool"].map(tool_codes)
+                            .fillna(0).to_numpy(np.int16).astype("<i2").tobytes(),
+                        }
+                    ]
+                )
+
             n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             self._doc_side_df = (
-                self.doc_stats_df()
-                .select("seg", "doc_ord", "dl", "role", "tool")
+                ds.groupBy("seg")
+                .applyInPandas(pack, self._DOC_SIDE_SCHEMA)
+                # explicit repartition: the packed rows are tiny, so AQE
+                # would coalesce the pack's shuffle to 1-2 partitions and
+                # the cached partitioning would serialize the scoring
+                # cogroup into 1-2 tasks; a user-specified repartition is
+                # AQE-exempt and keeps the scoring stage n-wide
                 .repartition(n, "seg")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
         return self._doc_side_df
+
+    def _unpack_doc_side(self, dq: pd.DataFrame):
+        """(base, dl array) from the packed one-row-per-segment doc side."""
+        r = dq.iloc[0]
+        return int(r["base"]), np.frombuffer(r["dl_bytes"], dtype="<i4").astype(np.int64)
 
     def close(self) -> None:
         """Release executor-side caches (the persisted doc-side norms)."""
@@ -597,21 +658,33 @@ class IndexSearcher:
         if phrase_terms:
             mode = "and"
 
+        role_codes = dict(getattr(self, "_role_codes", {}))
+        tool_codes = dict(getattr(self, "_tool_codes", {}))
+
         def score_seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
             if len(pq) == 0 or len(dq) == 0:
                 return pd.DataFrame({"doc_ord": [], "score": []})
-            dq = dq.sort_values("doc_ord")
-            base = int(dq["doc_ord"].iloc[0])
-            dl_of = dq["dl"].to_numpy(np.int64)
+            r0 = dq.iloc[0]
+            base = int(r0["base"])
+            dl_of = np.frombuffer(r0["dl_bytes"], dtype="<i4").astype(np.int64)
             boost_of = None
             if rb or tb:
-                boost_of = np.ones(len(dq), dtype=np.float64)
-                roles = dq["role"].to_numpy(object)
-                tools = dq["tool"].to_numpy(object)
-                for r, w in rb.items():
-                    boost_of[roles == r] *= w
-                for t, w in tb.items():
-                    boost_of[tools == t] *= w
+                # boost dicts → O(#codes) lookup tables over the packed
+                # int16 code arrays (code 0 = null → weight 1.0)
+                rlut = np.ones(len(role_codes) + 1, dtype=np.float64)
+                for rname, w in rb.items():
+                    i = role_codes.get(rname)
+                    if i:
+                        rlut[i] = w
+                tlut = np.ones(len(tool_codes) + 1, dtype=np.float64)
+                for tname, w in tb.items():
+                    i = tool_codes.get(tname)
+                    if i:
+                        tlut[i] = w
+                boost_of = (
+                    rlut[np.frombuffer(r0["role_bytes"], dtype="<i2")]
+                    * tlut[np.frombuffer(r0["tool_bytes"], dtype="<i2")]
+                )
             pq = pq.sort_values(["term", "seg", "min_doc"])
             by_term = {
                 t: scoring.TermView(
@@ -699,9 +772,9 @@ class IndexSearcher:
         def score_seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
             if len(pq) == 0 or len(dq) == 0:
                 return pd.DataFrame({"doc_ord": [], "score": []})
-            dq = dq.sort_values("doc_ord")
-            base = int(dq["doc_ord"].iloc[0])
-            dl_of = dq["dl"].to_numpy(np.int64)
+            r0 = dq.iloc[0]
+            base = int(r0["base"])
+            dl_of = np.frombuffer(r0["dl_bytes"], dtype="<i4").astype(np.int64)
             pq = pq.sort_values(["term", "seg", "min_doc"])
             views = [
                 scoring.TermView(
@@ -711,7 +784,7 @@ class IndexSearcher:
                 if dfs[t] > 0
             ]
             docs, scores = scoring.exhaustive_topk(
-                views, dl_of, avgdl, k=len(dq), dl_base=base,
+                views, dl_of, avgdl, k=len(dl_of), dl_base=base,
                 mode="or", deleted=tombstones,
             )
             return pd.DataFrame({"doc_ord": docs, "score": scores})
