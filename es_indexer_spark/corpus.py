@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# above this many partitions the ordinal offset map ships as a broadcast
+# join instead of a constant-folded map literal (plan-bloat threshold)
+ORDINAL_OFFMAP_MAX = 10_000
+
 TRANSCRIPT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -210,22 +214,42 @@ def assign_doc_ordinals(
     # partition content and order are fixed by the shuffle+sort above,
     # or by the caller's assume_sorted contract).
     local_mask = (1 << 33) - 1
-    if counts:
-        off_map = F.create_map(
-            *[x for pid in sorted(counts) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    local_ix = F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask))
+    if len(counts) <= ORDINAL_OFFMAP_MAX:
+        # constant-folded map literal: offset lookup fuses into codegen
+        off_map = (
+            F.create_map(
+                *[x for pid in sorted(counts) for x in (F.lit(pid), F.lit(offsets[pid]))]
+            )
+            if counts
+            else F.create_map(F.lit(-1), F.lit(0))  # empty input: never fires
         )
-    else:  # empty input: no partitions have rows, expression never fires
-        off_map = F.create_map(F.lit(-1), F.lit(0))
-    out = (
-        part.withColumn(
+        out = part.withColumn(
             "doc_ord",
-            (
-                F.element_at(off_map, F.col("_pid"))
-                + F.monotonically_increasing_id().bitwiseAND(F.lit(local_mask))
-            ).cast("long"),
+            (F.element_at(off_map, F.col("_pid")) + local_ix).cast("long"),
+        ).drop("_pid")
+    else:
+        # 10^5+ partitions: a map literal that size bloats every serialized
+        # task plan (the same hazard class as a giant IN-list) — ship the
+        # offsets as a broadcast-joined DataFrame instead
+        import pandas as pd
+
+        off_df = df.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "_pid": np.fromiter(sorted(counts), dtype=np.int64),
+                    "_off": np.fromiter(
+                        (offsets[p] for p in sorted(counts)), dtype=np.int64
+                    ),
+                }
+            )
         )
-        .drop("_pid")
-    )
+        out = (
+            part.withColumn("_lix", local_ix)
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn("doc_ord", (F.col("_off") + F.col("_lix")).cast("long"))
+            .drop("_pid", "_off", "_lix")
+        )
     # let callers release the cached shuffle once downstream stages are
     # materialized (build_index unpersists after doc_stats is written);
     # total count rides along for free (sum of per-partition counts)

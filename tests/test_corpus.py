@@ -45,3 +45,23 @@ def test_documents_adapter(spark, sf_dir):
     df = documents_as_transcripts(spark, sf_dir)
     assert df.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert df.count() == 500
+
+
+def test_ordinal_offsets_broadcast_join_path(spark, monkeypatch):
+    """Above ORDINAL_OFFMAP_MAX partitions the offset lookup becomes a
+    broadcast join (a 10^5-entry map literal would bloat every task
+    plan); forcing the threshold to 0 must yield identical ordinals."""
+    from es_indexer_spark import corpus
+
+    df = synth_transcripts(spark, 30, 5, seed=3)
+    a = {
+        (r["conv_id"], r["turn_idx"]): r["doc_ord"]
+        for r in corpus.assign_doc_ordinals(df, num_partitions=4).collect()
+    }
+    monkeypatch.setattr(corpus, "ORDINAL_OFFMAP_MAX", 0)
+    b = {
+        (r["conv_id"], r["turn_idx"]): r["doc_ord"]
+        for r in corpus.assign_doc_ordinals(df, num_partitions=4).collect()
+    }
+    assert a == b and len(a) == 150
+    assert sorted(a.values()) == list(range(150))
