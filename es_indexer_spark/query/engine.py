@@ -738,12 +738,29 @@ class IndexSearcher:
             .cogroup(doc_side.groupBy("seg"))
             .applyInPandas(lambda key, pq, dq: score_seg(pq, dq), out_schema)
         )
-        top = local.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
-        return top.join(
-            self.doc_stats_df().select("doc_ord", "doc_id", "conv_id", "turn_idx", "role"),
-            "doc_ord",
-        ).select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score").orderBy(
-            F.desc("score"), F.asc("doc_ord")
+        # The scored top-k is k rows — collect it and push the ordinals
+        # into the doc_stats scan as an IN-filter. A lazy join here would
+        # full-scan doc_stats per query (at 10^9 docs: the whole stored-
+        # fields table for k rows); doc_stats is written in doc_ord order,
+        # so the pushed literal prunes to <=k row groups — the stored-
+        # fields point-read every search engine does after scoring.
+        top_rows = local.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k).collect()
+        if not top_rows:
+            return empty
+        ords = [int(r["doc_ord"]) for r in top_rows]
+        score_df = self.spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_ord": np.asarray(ords, dtype=np.int64),
+                 "score": [float(r["score"]) for r in top_rows]}
+            )
+        )
+        return (
+            self.doc_stats_df()
+            .filter(F.col("doc_ord").isin(ords))
+            .select("doc_ord", "doc_id", "conv_id", "turn_idx", "role")
+            .join(F.broadcast(score_df), "doc_ord")
+            .select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score")
+            .orderBy(F.desc("score"), F.asc("doc_ord"))
         )
 
     def scores_df(
