@@ -580,6 +580,15 @@ def _tp_quality(spark, sf_dir):
     return textstats.quality_features(_t(spark, sf_dir, "documents"))
 
 
+def _tp_unigram_logprob(spark, sf_dir):
+    """Mean unigram log-probability under the corpus's own unigram LM —
+    the cheap perplexity-style fluency signal (one corpus shuffle; the
+    term-probability table is broadcast)."""
+    from es_indexer_spark.ops import textstats
+
+    return textstats.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def _tp_fingerprint(spark, sf_dir):
     from es_indexer_spark.ops import textstats
 
@@ -922,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_language_id": _tp_language_id,
         "tp_quality": _tp_quality,
         "tp_fingerprint": _tp_fingerprint,
+        "tp_unigram_logprob": _tp_unigram_logprob,
         "tp_exact_dups": _tp_exact_dups,
         "tp_jaccard_pairs": _tp_jaccard_pairs,
         "tp_minhash_pairs": _tp_minhash_pairs,  # rows-only (LSH candidates)
@@ -1068,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "tp_language_id": textstats.sql_language_id(),
         "tp_quality": textstats.sql_quality_features(),
         "tp_fingerprint": textstats.sql_content_fingerprint(),
+        "tp_unigram_logprob": textstats.sql_unigram_logprob(),
         "tp_exact_dups": dedup.sql_exact_duplicates(),
         "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5, max_df=100),
         "tp_simhash_pairs": dedup.sql_simhash_pairs(max_hamming=3),

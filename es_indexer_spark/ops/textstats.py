@@ -207,3 +207,48 @@ def sql_content_fingerprint(table: str = "documents") -> str:
         f"select doc_id, md5(array_to_string({SQL_TOKENS}, ' ')) as fingerprint "
         f"from {table}"
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap KenLM-style fluency signal a
+    curation pipeline thresholds on (gibberish and boilerplate sit in
+    the tails; cf. CCNet/Gopher perplexity filters, here with a unigram
+    LM so the score is exactly SQL-mirrorable).
+
+    Plan shape: one explode + per-term count (map-side partial agg), the
+    term-probability table joined back BROADCAST (vocabulary-bounded —
+    orders of magnitude smaller than the corpus; drop the broadcast hint
+    if a pathological vocabulary outgrows executor memory and it becomes
+    an ordinary shuffle join), then one groupBy(doc) average — a single
+    corpus-sized shuffle total."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = tf.agg(F.sum("n")).collect()[0][0] or 1  # O(1) driver scalar
+    probs = tf.withColumn("logp", F.log(F.col("n") / F.lit(float(total))))
+    return (
+        toks.join(F.broadcast(probs.select("term", "logp")), "term")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def sql_unigram_logprob(table: str = "documents") -> str:
+    return f"""
+with tok as (
+  select doc_id, unnest({SQL_TOKENS}) as term from {table}
+), tf as (
+  select term, count(*)::double as n from tok group by term
+), tot as (select sum(n) as total from tf),
+p as (select term, ln(n / total) as logp from tf, tot)
+select tok.doc_id,
+       round(avg(p.logp), 6) as avg_logprob,
+       count(*)::bigint as n_tokens
+from tok join p using (term)
+group by tok.doc_id
+"""
