@@ -898,7 +898,15 @@ class IndexSearcher:
         self, term: str, max_edits: int | None = None, max_expansions: int = 50
     ) -> list[str]:
         """AUTO-fuzziness expansion as a Spark filter (F.length band +
-        F.levenshtein bound, both JVM-side) over term_stats."""
+        F.levenshtein bound, both JVM-side) over term_stats.
+
+        Known trade-off vs Lucene's Levenshtein-automaton FST walk: this
+        is a parallel scan of the term dictionary per fuzzy query (the
+        length band cannot prune parquet row groups). The dictionary is
+        O(distinct terms) — 10^7-10^8 rows even at 10^12 turns (Heaps'
+        law), i.e. ~10^-4 of the corpus — so the scan is a sub-second
+        columnar job, paid only by fuzzy queries; an FST sidecar would
+        be the upgrade path if fuzzy traffic ever dominated."""
         d = auto_fuzziness(term) if max_edits is None else max_edits
         td = self._term_stats_sdf()
         if d == 0:
