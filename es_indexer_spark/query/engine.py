@@ -540,14 +540,13 @@ class IndexSearcher:
         fresh one after appends."""
         if self._doc_side_df is None:
             ds = self.doc_stats_df().select("seg", "doc_ord", "dl", "role", "tool")
-            roles = sorted(
-                r["role"] for r in ds.select("role").distinct().collect()
-                if r["role"] is not None
-            )
-            tools = sorted(
-                r["tool"] for r in ds.select("tool").distinct().collect()
-                if r["tool"] is not None
-            )
+            # one scan for both code vocabularies (bounded categoricals)
+            vocab_row = ds.agg(
+                F.collect_set("role").alias("roles"),
+                F.collect_set("tool").alias("tools"),
+            ).collect()[0]
+            roles = sorted(vocab_row["roles"])
+            tools = sorted(vocab_row["tools"])
             self._role_codes = {v: i + 1 for i, v in enumerate(roles)}  # 0 = null
             self._tool_codes = {v: i + 1 for i, v in enumerate(tools)}
             role_codes, tool_codes = self._role_codes, self._tool_codes
