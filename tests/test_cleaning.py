@@ -200,3 +200,35 @@ def test_repetition_long_doc_is_not_quadratic(spark):
     wall = time.perf_counter() - t0
     assert row["max_bigram_ratio"] == pytest.approx(expect, abs=1e-9)
     assert wall < 30, f"long-doc repetition_stats took {wall:.1f}s (quadratic?)"
+
+
+def test_max_run_count_equals_mode_property(spark):
+    """Property (hypothesis): the sorted-run-length fold equals the
+    multiset mode count for arbitrary token arrays."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from es_indexer_spark.ops.cleaning import _max_run_count
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.sampled_from("abcde"), min_size=0, max_size=30))
+    def collect(xs):
+        cases.append(list(xs))
+
+    collect()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"i": range(len(cases)), "arr": cases})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r["m"]
+        for r in sdf.select("i", _max_run_count(F.col("arr")).alias("m")).collect()
+    }
+    for i, xs in enumerate(cases):
+        want = Counter(xs).most_common(1)[0][1] if xs else 0
+        assert got[i] == want, (xs, got[i], want)

@@ -378,3 +378,34 @@ def test_ivf_assignment_deterministic(spark, emb):
     C1 = similarity.train_ivf_centroids(emb, 8)
     C2 = similarity.train_ivf_centroids(emb, 8)
     np.testing.assert_array_equal(C1, C2)
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property (hypothesis): encode->decode is the identity for arbitrary
+    image dims/pixels and sample counts/rates (pure-python codecs, no
+    Spark needed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31)
+    )
+    def bmp_case(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            multimodal.decode_bmp(multimodal.encode_bmp(px)), px
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(0, 500), rate=st.integers(1, 192000), seed=st.integers(0, 2**31))
+    def wav_case(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
+        back, r = multimodal.decode_wav(multimodal.encode_wav(samples, rate))
+        assert r == rate
+        np.testing.assert_array_equal(back, samples)
+
+    bmp_case()
+    wav_case()
