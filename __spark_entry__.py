@@ -187,16 +187,13 @@ _FUZZY_Q = "scann"  # not in the vocabulary; AUTO(5 chars) = 1 edit
 
 
 def _expansion_df(spark, s, terms: list[str]) -> DataFrame:
-    import pandas as pd
-
-    td = s._term_stats_sdf()
-    out = (
-        td.filter(F.col("term").isin(terms))
+    if not terms:  # explicit schema: inference can't see an empty frame
+        return spark.createDataFrame([], "term string, df long")
+    return (
+        s._term_stats_sdf()
+        .filter(F.col("term").isin(terms))
         .select("term", F.col("df").cast("long").alias("df"))
-        if terms
-        else spark.createDataFrame(pd.DataFrame({"term": [], "df": []}))
     )
-    return out
 
 
 def _ft_prefix_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:

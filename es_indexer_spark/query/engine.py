@@ -629,6 +629,12 @@ class IndexSearcher:
         tiny union is globally sorted. Scales to any corpus the build
         scaled to — no driver-side norms.
 
+        NOTE: the scoring phase runs EAGERLY at call time (the k scored
+        ordinals are collected and pushed into the doc_stats scan as a
+        pruning literal — the stored-fields point-read; a lazy join would
+        full-scan doc_stats per query). The returned DataFrame is the
+        cheap k-row enrichment plan.
+
         ``phrase_terms`` (query-ordered) restricts hits to docs where those
         terms occur adjacently in order (match_phrase); requires a
         with_positions index. The adjacency test is segment-local because a
