@@ -119,3 +119,16 @@ def test_tombstone_mask_heavy_churn_is_anti_join_not_in_literal(spark):
     # the giant literal never appears in the plan text
     assert len(plan) < 100_000
     assert out.count() == 50_000
+
+
+def test_search_df_enrichment_pushes_ordinal_pointread(searcher):
+    """The distributed top-k's returned plan must be the k-row stored-
+    fields point-read: the scored ordinals pushed into the doc_stats scan
+    (row-group pruning), never a full-table join."""
+    df = searcher.search_df(["baco"], k=5)
+    plan = _plan(df)
+    assert "doc_ord" in plan
+    # the scan carries the k-ordinal IN filter (e.g. "doc_ord#12L IN (...)")
+    import re
+
+    assert re.search(r"doc_ord#\d+L? IN \(", plan), plan[:2000]
