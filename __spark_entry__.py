@@ -577,6 +577,65 @@ def _tp_quality(spark, sf_dir):
     return textstats.quality_features(_t(spark, sf_dir, "documents"))
 
 
+# deterministic multi-turn reshaping of the documents table (the oracle
+# tables have no native multi-turn corpus): conv_id = doc_id % 500,
+# turn_idx = doc_id / 500 (dense 0..N per conv), role from the source
+# column so every conversation mixes user/assistant turns — identical
+# arithmetic in Spark and SQL.
+_N_CONVS = 500
+
+
+def _tx_multi(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (F.col("doc_id") % _N_CONVS).cast("long").alias("conv_id"),
+        (F.col("doc_id") / _N_CONVS).cast("int").alias("turn_idx"),
+        F.when(F.col("source") == "src1", F.lit("assistant"))
+        .otherwise(F.lit("user")).alias("role"),
+        F.col("text"),
+        F.when(F.col("lang") == "en", F.col("source")).alias("tool"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, 0, cast(doc_id % 1000 as int), 0)"
+        ).alias("ts"),
+    )
+
+
+_SQL_TX_MULTI = f"""
+  select (doc_id % {_N_CONVS})::bigint as conv_id,
+         (doc_id // {_N_CONVS})::int as turn_idx,
+         case when source = 'src1' then 'assistant' else 'user' end as role,
+         text,
+         case when lang = 'en' then source else null end as tool,
+         timestamp '2024-01-01 00:00:00'
+           + (doc_id % 1000) * interval 1 minute as ts
+  from documents
+"""
+
+
+def _tp_conv_render(spark, sf_dir):
+    """Ordered conversation re-assembly: turns fold into one rendered
+    training document per conversation (order-sensitive aggregation via
+    sorted collect_list structs — one shuffle, no global sort)."""
+    from es_indexer_spark.ops import conversations
+
+    return conversations.render_conversations(_tx_multi(spark, sf_dir))
+
+
+def _tp_conv_stats(spark, sf_dir):
+    from es_indexer_spark.ops import conversations
+
+    return conversations.conversation_stats(_tx_multi(spark, sf_dir))
+
+
+def _tp_context_windows(spark, sf_dir):
+    """Chat-SFT example construction: per assistant turn, the rendered
+    last-3 preceding turns as prompt + the turn text as target."""
+    from es_indexer_spark.ops import conversations
+
+    return conversations.context_windows(_tx_multi(spark, sf_dir), max_context=3)
+
+
 def _tp_unigram_logprob(spark, sf_dir):
     """Mean unigram log-probability under the corpus's own unigram LM —
     the cheap perplexity-style fluency signal (one corpus shuffle; the
@@ -929,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_quality": _tp_quality,
         "tp_fingerprint": _tp_fingerprint,
         "tp_unigram_logprob": _tp_unigram_logprob,
+        "tp_conv_render": _tp_conv_render,
+        "tp_conv_stats": _tp_conv_stats,
+        "tp_context_windows": _tp_context_windows,
         "tp_exact_dups": _tp_exact_dups,
         "tp_jaccard_pairs": _tp_jaccard_pairs,
         "tp_minhash_pairs": _tp_minhash_pairs,  # rows-only (LSH candidates)
@@ -960,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from es_indexer_spark.ops import (
         cleaning,
+        conversations,
         clustering,
         dedup,
         mapper,
@@ -1076,6 +1139,11 @@ def oracle_sql() -> dict[str, str]:
         "tp_quality": textstats.sql_quality_features(),
         "tp_fingerprint": textstats.sql_content_fingerprint(),
         "tp_unigram_logprob": textstats.sql_unigram_logprob(),
+        "tp_conv_render": conversations.sql_render_conversations(_SQL_TX_MULTI),
+        "tp_conv_stats": conversations.sql_conversation_stats(_SQL_TX_MULTI),
+        "tp_context_windows": conversations.sql_context_windows(
+            _SQL_TX_MULTI, max_context=3
+        ),
         "tp_exact_dups": dedup.sql_exact_duplicates(),
         "tp_jaccard_pairs": dedup.sql_ngram_jaccard_pairs(threshold=0.5, max_df=100),
         "tp_simhash_pairs": dedup.sql_simhash_pairs(max_hamming=3),

@@ -187,3 +187,52 @@ def test_md5_hash_parity_with_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# -------------------------------------------------------------- conversations
+
+
+def test_render_conversations_orders_turns(spark):
+    from es_indexer_spark.ops import conversations
+
+    rows = [
+        ("c1", 2, "assistant", "third", None, "2024-01-01 00:02:00"),
+        ("c1", 0, "user", "first", None, "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "second", None, "2024-01-01 00:01:00"),
+        ("c2", 0, "user", "solo", None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in conversations.render_conversations(df).collect()
+    }
+    assert got["c1"]["rendered"] == "user: first\nassistant: second\nassistant: third"
+    assert got["c1"]["n_turns"] == 3 and got["c1"]["total_tokens"] == 3
+    assert got["c2"]["rendered"] == "user: solo"
+
+
+def test_context_windows_positional_with_gapped_turn_idx(spark):
+    """Turn numbering with gaps: the window is the last-k turns BY ORDER
+    (positions), and the emitted turn_idx is the original index."""
+    from es_indexer_spark.ops import conversations
+
+    rows = [
+        ("c1", 10, "user", "a", None, "2024-01-01 00:00:00"),
+        ("c1", 20, "user", "b", None, "2024-01-01 00:01:00"),
+        ("c1", 40, "assistant", "c", None, "2024-01-01 00:02:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = conversations.context_windows(df, max_context=2).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["turn_idx"] == 40  # original index, not array position
+    assert r["prompt"] == "user: a\nuser: b"
+    assert r["target"] == "c"
