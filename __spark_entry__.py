@@ -472,6 +472,18 @@ def _rel_keyset_page(spark, sf_dir):
     )
 
 
+def _rel_sessionize(spark, sf_dir):
+    """Event-time sessionization of the events stream (session_window
+    with a 30-minute inactivity gap) — the same operator runs unchanged
+    under Structured Streaming with a watermark (pytest-proven); here
+    the batch run is value-checked against the gaps-and-islands oracle."""
+    from es_indexer_spark.streaming.operators import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"), gap="30 minutes", key_col="event_type"
+    )
+
+
 def _rel_distinct(spark, sf_dir):
     """A3: dedupe."""
     return _t(spark, sf_dir, "events").select("event_type").distinct()
@@ -975,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_minmax_temporal": _rel_minmax_temporal,
         "rel_topk_sort": _rel_topk_sort,
         "rel_keyset_page": _rel_keyset_page,
+        "rel_sessionize": _rel_sessionize,
         "rel_distinct": _rel_distinct,
         "rel_set_union": _rel_set_union,
         "rel_lineitem_pricing": _rel_lineitem_pricing,
@@ -1106,6 +1119,9 @@ def oracle_sql() -> dict[str, str]:
             order by o_orderdate, o_orderkey limit 50
         """,
         "rel_distinct": "select distinct event_type from events",
+        "rel_sessionize": __import__(
+            "es_indexer_spark.streaming.operators", fromlist=["sql_sessionize"]
+        ).sql_sessionize(30),
         "rel_set_union": """
             select distinct k from (
               select o_custkey as k from orders

@@ -150,3 +150,66 @@ def streaming_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time sessionization: merge a key's events into sessions
+    separated by more than ``gap`` of inactivity, via Spark's native
+    ``session_window`` (dynamic-gap windows merged by the engine, not a
+    global sort). Works identically on batch DataFrames and on streams —
+    for a stream, ``withWatermark(ts_col, …)`` upstream bounds state and
+    finalizes sessions whose window end falls behind the watermark
+    (append-mode emittable).
+
+    Output: (key, n_events, t_start, t_end) per session; t_start/t_end
+    are the observed min/max event times (the session_window struct's
+    end is last_event + gap — an implementation detail not exposed)."""
+    return (
+        df.groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(ts_col).alias("t_start"),
+            F.max(ts_col).alias("t_end"),
+        )
+        .select(key_col, "n_events", "t_start", "t_end")
+    )
+
+
+def sql_sessionize(
+    gap_minutes: int = 30,
+    table: str = "events",
+    key: str = "event_type",
+    ts: str = "ts",
+) -> str:
+    """DuckDB mirror: classic gaps-and-islands — break where the gap to
+    the previous event EXCEEDS the threshold (Spark's session_window
+    merges an event arriving exactly ``gap`` after the last one —
+    boundary pinned by pytest), cumulative-sum the breaks into session
+    ids."""
+    return f"""
+with o as (
+  select {key} as k, {ts} as ts,
+         lag({ts}) over (partition by {key} order by {ts}) as prev
+  from {table}
+), m as (
+  select k, ts,
+         case when prev is null or ts - prev > interval {gap_minutes} minute
+              then 1 else 0 end as brk
+  from o
+), s as (
+  select k, ts,
+         sum(brk) over (partition by k order by ts
+                        rows between unbounded preceding and current row) as sid
+  from m
+)
+select k as {key}, count(*)::bigint as n_events,
+       min(ts) as t_start, max(ts) as t_end
+from s group by k, sid
+"""

@@ -267,3 +267,52 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_sessionize_boundary_semantics(spark):
+    """Boundary semantics: a silence of EXACTLY the gap still merges
+    (Spark merges while ts <= last + gap); one second more breaks."""
+    from es_indexer_spark.streaming.operators import sessionize
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    data = [
+        ("a", 0, "user", "t", None, base),
+        ("a", 1, "user", "t", None, base + dt.timedelta(minutes=29, seconds=59)),
+        ("a", 2, "user", "t", None, base + dt.timedelta(minutes=59, seconds=59)),
+        # 30 min + 1 s after the previous -> NEW session (exactly 30 min
+        # would still merge)
+        ("a", 3, "user", "t", None, base + dt.timedelta(minutes=90, seconds=0)),
+        ("b", 0, "user", "t", None, base),
+    ]
+    df = spark.createDataFrame(data, TRANSCRIPT_SCHEMA)
+    got = sorted(
+        (r["conv_id"], r["n_events"]) for r in sessionize(df, "30 minutes").collect()
+    )
+    assert got == [("a", 1), ("a", 3), ("b", 1)]
+
+
+def test_sessionize_streaming_with_watermark(spark, tmp_path):
+    """The same operator on a stream: watermark finalizes sessions whose
+    window closed before it (append mode), exactly-once per session."""
+    from es_indexer_spark.streaming.operators import sessionize
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, [
+        _row("s1", 0, "a", 0), _row("s1", 1, "b", 5), _row("s2", 0, "c", 2),
+    ], order=1)
+    # far-future rows push the watermark past session s1/s2's horizons
+    _write_batch(spark, src, [_row("s3", 0, "d", 600)], order=2)
+    _write_batch(spark, src, [_row("s4", 0, "e", 700)], order=3)
+    out = _run_stream(
+        spark, src, str(tmp_path / "ck"),
+        lambda s: sessionize(
+            s.withWatermark("ts", "10 minutes"), gap="30 minutes"
+        ),
+        "session_out", "append",
+    ).toPandas()
+    got = {(r["conv_id"], r["n_events"]) for _, r in out.iterrows()}
+    # the first two sessions are finalized once the watermark passes them
+    assert ("s1", 2) in got and ("s2", 1) in got
