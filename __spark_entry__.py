@@ -484,6 +484,40 @@ def _rel_sessionize(spark, sf_dir):
     )
 
 
+def _rel_topk_per_group(spark, sf_dir):
+    """§2.7 depth: per-group top-k via a rank window (top-3 orders by
+    price within each market segment) — the partitioned-window shape, vs
+    rel_topk_sort's global TakeOrdered."""
+    from pyspark.sql import Window
+
+    j = _t(spark, sf_dir, "orders").join(
+        _t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", F.col("rk").cast("int").alias("rk"),
+                "o_orderkey", "o_totalprice")
+    )
+
+
+def _rel_rollup(spark, sf_dir):
+    """A-class depth: hierarchical ROLLUP aggregation (event_type, month)
+    → subtotals per type and a grand total in one pass (partial-agg
+    friendly — the cube/rollup shape the reference's summary reports
+    would use)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("month", "ts").alias("ym"), "value")
+        .rollup("event_type", "ym")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
 def _rel_distinct(spark, sf_dir):
     """A3: dedupe."""
     return _t(spark, sf_dir, "events").select("event_type").distinct()
@@ -988,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_sort": _rel_topk_sort,
         "rel_keyset_page": _rel_keyset_page,
         "rel_sessionize": _rel_sessionize,
+        "rel_topk_per_group": _rel_topk_per_group,
+        "rel_rollup": _rel_rollup,
         "rel_distinct": _rel_distinct,
         "rel_set_union": _rel_set_union,
         "rel_lineitem_pricing": _rel_lineitem_pricing,
@@ -1119,6 +1155,20 @@ def oracle_sql() -> dict[str, str]:
             order by o_orderdate, o_orderkey limit 50
         """,
         "rel_distinct": "select distinct event_type from events",
+        "rel_topk_per_group": """
+            select c_mktsegment, rk::int as rk, o_orderkey, o_totalprice from (
+              select c_mktsegment, o_orderkey, o_totalprice,
+                     row_number() over (partition by c_mktsegment
+                                        order by o_totalprice desc, o_orderkey asc) as rk
+              from orders join customer on o_custkey = c_custkey
+            ) where rk <= 3
+        """,
+        "rel_rollup": """
+            select event_type, date_trunc('month', ts)::timestamp as ym,
+                   count(*)::bigint as n, round(sum(value), 2) as sum_value
+            from events
+            group by rollup (event_type, date_trunc('month', ts)::timestamp)
+        """,
         "rel_sessionize": __import__(
             "es_indexer_spark.streaming.operators", fromlist=["sql_sessionize"]
         ).sql_sessionize(30),
