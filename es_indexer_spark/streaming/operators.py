@@ -11,7 +11,11 @@ operators a transcript firehose needs in front of the indexer:
 - ``streaming_dedup``: exact-dedup across micro-batches via
   ``applyInPandasWithState``: keyed by a fingerprint bucket, per-group
   state holds the set of fingerprints already emitted, and only
-  first-seen documents pass through. This is the stateful front gate
+  first-seen documents pass through — FULL transcript rows, so the
+  gate composes directly with the incremental index sink (firehose →
+  dedup → append_batch, proven end-to-end in
+  tests/test_streaming.py::test_firehose_dedup_to_incremental_index_end_to_end).
+  This is the stateful front gate
   that keeps re-crawled/replayed documents from re-entering the index
   (batch analogue: ``ops/dedup.exact_duplicates``). Bucketing the key
   space (crc32 % n_buckets) bounds per-group state and spreads it over
@@ -49,13 +53,21 @@ def windowed_turn_counts(
     )
 
 
+# full transcript rows pass through, so the dedup gate composes
+# directly with the incremental index sink (firehose -> dedup ->
+# append_batch) — no join-back needed to recover the document
 _DEDUP_OUT = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("fingerprint", T.StringType()),
     ]
 )
+_DEDUP_PASS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "fingerprint"]
 # state = SORTED int64 fingerprints (8 B each vs ~32 B md5 strings): 10^9
 # total docs over 64 buckets is ~125 MB/bucket — and at that scale the same
 # operator runs against the RocksDB state store
@@ -87,7 +99,8 @@ def _dedup_group(key, pdfs, state: GroupState, ttl_ms: int | None = None):
     for pdf in pdfs:
         fp64 = pdf["fp64"].to_numpy(np.int64)
         fresh = ~np.isin(fp64, seen) & ~pdf["fp64"].duplicated().to_numpy()
-        out.append(pdf.loc[fresh, ["conv_id", "turn_idx", "fingerprint"]])
+        kept = pdf.loc[fresh].rename(columns={"_ts": "ts"})
+        out.append(kept[_DEDUP_PASS])
         if fresh.any():
             seen = np.union1d(seen, fp64[fresh])  # stays sorted + deduped
     state.update((seen.tolist(),))
@@ -131,7 +144,8 @@ def streaming_dedup(
     )
     norm = F.concat_ws(" ", toks)
     fp = stream_df.select(
-        "conv_id", "turn_idx", F.col(ts_col).alias("_ts"),
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.col(ts_col).alias("_ts"),
         F.md5(norm).alias("fingerprint"),
         F.xxhash64(norm).alias("fp64"),
     ).withColumn("bucket", term_bucket_col(n_buckets, "fingerprint"))

@@ -167,3 +167,52 @@ def test_rebuild_compacted_blue_green(spark, tmp_path):
     # deleted docs gone from point lookups; upserted text is the live one
     assert len(s_after.get("conv00000001:0")) == 0
     assert "zzcompacted" in s_after.get("conv00000005:0")["text"].iloc[0]
+
+
+def test_firehose_dedup_to_incremental_index_end_to_end(spark, tmp_path):
+    """The full production front gate in one pipeline: a replayed/dup-
+    laden transcript firehose → streaming_dedup (full-row passthrough) →
+    per-epoch append_batch → queries over the updated index. Duplicates
+    must never reach the index, across micro-batches included."""
+    from es_indexer_spark.streaming.operators import streaming_dedup
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    n0 = IndexSearcher(spark, idx).n_docs
+
+    # two drops: drop2 replays half of drop1's conversations verbatim
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    fresh = _corpus(spark, 20, 30)
+    fresh.write.mode("overwrite").parquet(os.path.join(src, "drop1"))
+    replay = _corpus(spark, 25, 35)  # convs 25-29 are exact replays
+    replay.write.mode("overwrite").parquet(os.path.join(src, "drop2"))
+
+    stream = (
+        spark.readStream.schema(_corpus(spark, 0, 1).schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    clean = streaming_dedup(stream, n_buckets=8).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+    def sink(batch_df, epoch_id):
+        append_batch(batch_df.sparkSession, batch_df, idx, epoch_id=epoch_id)
+
+    q = (
+        clean.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    s = IndexSearcher(spark, idx)
+    # convs 20-34 arrived once each despite the replay of 25-29
+    assert s.n_docs == n0 + 15 * 4
+    ds = s.doc_stats_df().toPandas()
+    assert not ds.duplicated(["conv_id", "turn_idx"]).any()
+    got = s.search(["baco"], k=2000)
+    assert (got["conv_id"] >= "conv00000030").any()  # streamed docs searchable

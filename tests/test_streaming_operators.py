@@ -148,10 +148,15 @@ def _dedup_pdf(texts, start=0):
         # any deterministic int64 works for the unit test
         return int.from_bytes(hashlib.md5(norm.encode()).digest()[:8], "big", signed=True)
 
+    n = len(texts)
     return pd.DataFrame(
         {
-            "conv_id": [f"c{start + i}" for i in range(len(texts))],
-            "turn_idx": list(range(len(texts))),
+            "conv_id": [f"c{start + i}" for i in range(n)],
+            "turn_idx": list(range(n)),
+            "role": ["user"] * n,
+            "text": list(texts),
+            "tool": [None] * n,
+            "_ts": pd.to_datetime(["2024-01-01"] * n),
             "fingerprint": [t for t in texts],
             "fp64": [fp64(t) for t in texts],
         }
