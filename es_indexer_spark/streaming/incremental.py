@@ -194,11 +194,25 @@ def incremental_index(
     index_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    dedup: bool | int = False,
 ):
     """Structured Streaming driver: any stream of transcript-shaped rows →
     per-micro-batch index append. Exactly-once per epoch: the streaming
     checkpoint replays failed epochs and append_batch overwrites the same
-    epoch-derived batch directory."""
+    epoch-derived batch directory.
+
+    ``dedup`` fronts the stream with the stateful content-fingerprint
+    gate (``streaming/operators.streaming_dedup``, full-row passthrough):
+    replayed/re-crawled documents are dropped within AND across
+    micro-batches before they ever reach the index. Pass an int to set
+    the state bucket count (default 64)."""
+    if dedup:
+        from .operators import streaming_dedup
+
+        n_buckets = dedup if isinstance(dedup, int) and dedup is not True else 64
+        stream_df = streaming_dedup(stream_df, n_buckets=n_buckets).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         append_batch(batch_df.sparkSession, batch_df, index_dir, epoch_id=epoch_id)

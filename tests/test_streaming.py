@@ -174,8 +174,6 @@ def test_firehose_dedup_to_incremental_index_end_to_end(spark, tmp_path):
     laden transcript firehose → streaming_dedup (full-row passthrough) →
     per-epoch append_batch → queries over the updated index. Duplicates
     must never reach the index, across micro-batches included."""
-    from es_indexer_spark.streaming.operators import streaming_dedup
-
     idx = str(tmp_path / "idx")
     build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
     n0 = IndexSearcher(spark, idx).n_docs
@@ -194,19 +192,9 @@ def test_firehose_dedup_to_incremental_index_end_to_end(spark, tmp_path):
         .option("maxFilesPerTrigger", "2")
         .parquet(src)
     )
-    clean = streaming_dedup(stream, n_buckets=8).select(
-        "conv_id", "turn_idx", "role", "text", "tool", "ts"
-    )
-
-    def sink(batch_df, epoch_id):
-        append_batch(batch_df.sparkSession, batch_df, idx, epoch_id=epoch_id)
-
-    q = (
-        clean.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # the first-class API: incremental_index(dedup=8) fronts the stream
+    # with the stateful fingerprint gate before the per-epoch append
+    q = incremental_index(stream, idx, str(tmp_path / "ckpt"), dedup=8)
     q.awaitTermination(180)
 
     s = IndexSearcher(spark, idx)
