@@ -518,6 +518,33 @@ def _rel_rollup(spark, sf_dir):
     )
 
 
+def _rel_quantiles(spark, sf_dir):
+    """A-class depth: exact percentiles (Spark `percentile` ==
+    linear-interpolated quantile_cont) of order value per segment."""
+    j = _t(spark, sf_dir, "orders").join(
+        _t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+def _rel_pivot(spark, sf_dir):
+    """A-class depth: pivot — per-month event counts spread across one
+    column per event type (Spark groupBy().pivot(); the oracle is the
+    equivalent conditional aggregation)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("ym"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).cast("long"))
+        .na.fill(0, types)
+    )
+
+
 def _rel_distinct(spark, sf_dir):
     """A3: dedupe."""
     return _t(spark, sf_dir, "events").select("event_type").distinct()
@@ -1023,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_keyset_page": _rel_keyset_page,
         "rel_sessionize": _rel_sessionize,
         "rel_topk_per_group": _rel_topk_per_group,
+        "rel_quantiles": _rel_quantiles,
+        "rel_pivot": _rel_pivot,
         "rel_rollup": _rel_rollup,
         "rel_distinct": _rel_distinct,
         "rel_set_union": _rel_set_union,
@@ -1155,6 +1184,23 @@ def oracle_sql() -> dict[str, str]:
             order by o_orderdate, o_orderkey limit 50
         """,
         "rel_distinct": "select distinct event_type from events",
+        "rel_quantiles": """
+            select c_mktsegment,
+                   round(quantile_cont(o_totalprice, 0.5), 4) as p50,
+                   round(quantile_cont(o_totalprice, 0.95), 4) as p95,
+                   count(*)::bigint as n
+            from orders join customer on o_custkey = c_custkey
+            group by 1
+        """,
+        "rel_pivot": """
+            select date_trunc('month', ts)::timestamp as ym,
+                   sum((event_type = 'click')::bigint)::bigint as click,
+                   sum((event_type = 'error')::bigint)::bigint as error,
+                   sum((event_type = 'purchase')::bigint)::bigint as purchase,
+                   sum((event_type = 'signup')::bigint)::bigint as signup,
+                   sum((event_type = 'view')::bigint)::bigint as view
+            from events group by 1
+        """,
         "rel_topk_per_group": """
             select c_mktsegment, rk::int as rk, o_orderkey, o_totalprice from (
               select c_mktsegment, o_orderkey, o_totalprice,
