@@ -1,0 +1,95 @@
+"""Schema-enforced transcript sources: imposed schema (no inference
+pass), malformed-record quarantine, key-invariant validation, and the
+streaming reader feeding the incremental indexer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from es_indexer_spark.corpus import TRANSCRIPT_SCHEMA, synth_transcripts
+from es_indexer_spark.sources import read_stream_transcripts, read_transcripts
+
+GOOD_JSON = (
+    '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hello there",'
+    '"tool":null,"ts":"2024-01-01T10:00:00"}'
+)
+
+
+def test_parquet_roundtrip_and_missing_column_error(spark, tmp_path):
+    p = str(tmp_path / "tx")
+    synth_transcripts(spark, 5, 3, seed=9).write.parquet(p)
+    good, bad = read_transcripts(spark, p, format="parquet")
+    assert good.count() == 15 and bad.count() == 0
+    assert [f.name for f in good.schema.fields] == [
+        f.name for f in TRANSCRIPT_SCHEMA.fields
+    ]
+
+    p2 = str(tmp_path / "short")
+    synth_transcripts(spark, 2, 2, seed=9).drop("text").write.parquet(p2)
+    with pytest.raises(ValueError, match="missing transcript columns"):
+        read_transcripts(spark, p2, format="parquet")
+
+
+def test_json_quarantines_malformed_and_invalid_rows(spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    lines = [
+        GOOD_JSON,
+        '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"hi","tool":null,'
+        '"ts":"2024-01-01T10:01:00"}',
+        "{not valid json at all",                                   # parse error
+        '{"conv_id":null,"turn_idx":2,"role":"user","text":"orphan",'
+        '"tool":null,"ts":"2024-01-01T10:02:00"}',                  # null key
+        '{"conv_id":"c2","turn_idx":-5,"role":"user","text":"bad idx",'
+        '"tool":null,"ts":"2024-01-01T10:03:00"}',                  # negative idx
+    ]
+    src.write_text("\n".join(lines))
+    good, bad = read_transcripts(spark, str(src), format="json")
+    assert good.count() == 2
+    reasons = sorted(r["reason"] for r in bad.collect())
+    assert reasons == ["invalid_key", "invalid_key", "parse_error"]
+    # good rows are fully typed
+    assert dict(good.dtypes)["turn_idx"] == "int" and dict(good.dtypes)["ts"] == "timestamp"
+
+
+def test_csv_source_reads_with_header(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        "c1,0,user,hello world,,2024-01-01T10:00:00\n"
+        "c1,1,assistant,general reply,,2024-01-01T10:01:00\n"
+    )
+    good, bad = read_transcripts(spark, str(src), format="csv")
+    assert good.count() == 2 and bad.count() == 0
+    assert good.filter("role = 'assistant'").count() == 1
+
+
+def test_unsupported_format_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported"):
+        read_transcripts(spark, str(tmp_path), format="avro")
+
+
+def test_stream_source_feeds_incremental_index(spark, tmp_path):
+    from es_indexer_spark.index.build import build_index
+    from es_indexer_spark.query.engine import IndexSearcher
+    from es_indexer_spark.streaming.incremental import incremental_index
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, synth_transcripts(spark, 10, 4, seed=3), idx,
+                n_buckets=8, n_segments=2)
+    n0 = IndexSearcher(spark, idx).n_docs
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    extra = synth_transcripts(spark, 14, 4, seed=3).filter(
+        "conv_id >= 'conv00000010'"
+    )
+    extra.write.mode("overwrite").parquet(os.path.join(src, "d1"))
+
+    stream = read_stream_transcripts(
+        spark, src, format="parquet", recursiveFileLookup="true"
+    )
+    q = incremental_index(stream, idx, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert IndexSearcher(spark, idx).n_docs == n0 + 4 * 4
