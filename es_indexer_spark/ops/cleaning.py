@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_col, sql_shingles
+from .dedup import sql_shingles, with_shingles
 from .sampling import _sql_uniform_hash, _threshold, uniform_hash_col
 from .textstats import SQL_TOKENS, tokens_col
 
@@ -239,11 +239,12 @@ def decontaminate(
     single gram (same convention as the Jaccard shingles, mirrored in
     ``sql_shingles``)."""
     bench_grams = (
-        benchmark.select(F.explode(F.array_distinct(shingles_col(n))).alias("s"))
+        with_shingles(benchmark, n)
+        .select(F.explode(F.array_distinct(F.col("_sh"))).alias("s"))
         .distinct()
     )
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_col(n))).alias("s")
+    doc_grams = with_shingles(docs, n).select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("_sh"))).alias("s")
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "s")

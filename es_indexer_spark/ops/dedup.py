@@ -54,9 +54,18 @@ def _stable_hash64(strings: np.ndarray) -> np.ndarray:
     )
 
 
-def shingles_col(n: int = 3):
-    """Token n-gram shingles as a column expression (JVM-side)."""
-    toks = tokens_col("text")
+def shingles_col(n: int = 3, toks=None):
+    """Token n-gram shingles as a column expression (JVM-side).
+
+    IMPORTANT at scale: pass ``toks`` as a MATERIALIZED column attribute
+    (``df.withColumn("_toks", tokens_col())`` → ``F.col("_toks")``) for
+    long documents — a higher-order-function lambda re-evaluates captured
+    subexpressions per element, so the default (inlined tokenizer) re-runs
+    the regex once per shingle: fine at turn length (10-100 tokens, the
+    primary input), quadratic on 100k-token web pages. ``with_shingles``
+    below does this for you."""
+    if toks is None:
+        toks = tokens_col("text")
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -64,6 +73,16 @@ def shingles_col(n: int = 3):
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def with_shingles(df: DataFrame, n: int = 3, out: str = "_sh") -> DataFrame:
+    """``df`` + a shingle-array column built from a materialized token
+    attribute — the linear-cost path for arbitrarily long documents."""
+    return (
+        df.withColumn("_toks", tokens_col("text"))
+        .withColumn(out, shingles_col(n, F.col("_toks")))
+        .drop("_toks")
+    )
 
 
 def sql_shingles(n: int = 3) -> str:
@@ -118,7 +137,9 @@ def ngram_jaccard_pairs(
     (standard practice, cf. the banded-LSH path which needs no such cap and
     is the preferred operator at 10^9+ docs)."""
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles_col(n))).alias("s"))
+        with_shingles(df, n).select(
+            F.col(id_col).alias("id"), F.explode(F.array_distinct(F.col("_sh"))).alias("s")
+        )
     )
     if max_df is not None:
         hot = (
@@ -303,7 +324,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify on candidates only
-    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles_col(n)).alias("sh"))
+    sh = with_shingles(df, n).select(
+        F.col(id_col).alias("id"), F.array_distinct(F.col("_sh")).alias("sh")
+    )
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -409,3 +409,22 @@ def test_bmp_wav_roundtrip_property():
 
     bmp_case()
     wav_case()
+
+
+def test_shingling_long_doc_is_not_quadratic(spark):
+    """The materialized-token shingle path must stay linear on long docs:
+    a 60k-token document would be ~3.6e9 regex evaluations under the old
+    captured-tokenizer formulation (minutes); with the token attribute
+    materialized it is one tokenize + one linear transform."""
+    import time
+
+    n = 60_000
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([("big", text)], "doc_id string, text string")
+    t0 = time.perf_counter()
+    out = dedup.with_shingles(df, 8).select(
+        "doc_id", __import__("pyspark.sql.functions", fromlist=["size"]).size("_sh").alias("k")
+    ).collect()
+    wall = time.perf_counter() - t0
+    assert out[0]["k"] == n - 7
+    assert wall < 30, f"long-doc shingling took {wall:.1f}s (captured tokenizer?)"
