@@ -709,6 +709,15 @@ def _tp_context_windows(spark, sf_dir):
     return conversations.context_windows(_tx_multi(spark, sf_dir), max_context=3)
 
 
+def _tp_duplicated_ngrams(spark, sf_dir):
+    """Exact-substring-dedup-lite (Lee et al. ACL'22 shape): per doc, the
+    count and fraction of its token 8-grams occurring >1 time corpus-
+    wide — the span-level boilerplate signal."""
+    from es_indexer_spark.ops import dedup
+
+    return dedup.duplicated_ngrams(_t(spark, sf_dir, "documents"), n=8)
+
+
 def _tp_unigram_logprob(spark, sf_dir):
     """Mean unigram log-probability under the corpus's own unigram LM —
     the cheap perplexity-style fluency signal (one corpus shuffle; the
@@ -1066,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_quality": _tp_quality,
         "tp_fingerprint": _tp_fingerprint,
         "tp_unigram_logprob": _tp_unigram_logprob,
+        "tp_duplicated_ngrams": _tp_duplicated_ngrams,
         "tp_conv_render": _tp_conv_render,
         "tp_conv_stats": _tp_conv_stats,
         "tp_context_windows": _tp_context_windows,
@@ -1251,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "tp_quality": textstats.sql_quality_features(),
         "tp_fingerprint": textstats.sql_content_fingerprint(),
         "tp_unigram_logprob": textstats.sql_unigram_logprob(),
+        "tp_duplicated_ngrams": dedup.sql_duplicated_ngrams(n=8),
         "tp_conv_render": conversations.sql_render_conversations(_SQL_TX_MULTI),
         "tp_conv_stats": conversations.sql_conversation_stats(_SQL_TX_MULTI),
         "tp_context_windows": conversations.sql_context_windows(

@@ -473,3 +473,66 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicated_ngrams(df: DataFrame, n: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Intra-corpus duplicated n-gram signal — the bounded rendering of
+    exact-substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22): for each doc, how many
+    of its token ``n``-grams occur MORE THAN ONCE corpus-wide (any doc,
+    including repeats within the same doc) and the fraction of the doc
+    they cover. High fractions mark boilerplate/templated text for
+    removal or span-level trimming.
+
+    Shape at 10^9 docs: explode (no shuffle) → per-gram counts (one
+    gram-keyed shuffle with map-side partial aggregation) → semi-join of
+    the gram stream against the duplicated-gram set (second gram-keyed
+    shuffle — the dup set is corpus-scale, so this is an honest
+    sort-merge join, NOT broadcast) → per-doc counts (doc-keyed
+    shuffle). No suffix array needed: fixed-width grams give the same
+    span signal with plain relational operators."""
+    grams = with_shingles(df, n).select(
+        F.col(id_col).alias("id"), F.explode(F.col("_sh")).alias("s")
+    )
+    dup = (
+        grams.groupBy("s")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("s")
+    )
+    per_doc = (
+        grams.join(dup, "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_dup_grams"))
+    )
+    totals = grams.groupBy("id").agg(F.count("*").cast("long").alias("n_grams"))
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("dup_gram_fraction"),
+        )
+    )
+
+
+def sql_duplicated_ngrams(n: int = 8, table: str = "documents") -> str:
+    return f"""
+with g as (
+  select doc_id, unnest({sql_shingles(n)}) as s from {table}
+), dup as (
+  select s from g group by s having count(*) > 1
+), per_doc as (
+  select g.doc_id, count(*)::bigint as n_dup_grams
+  from g join dup using (s) group by g.doc_id
+), totals as (
+  select doc_id, count(*)::bigint as n_grams from g group by doc_id
+)
+select t.doc_id, t.n_grams,
+       coalesce(p.n_dup_grams, 0)::bigint as n_dup_grams,
+       round(coalesce(p.n_dup_grams, 0) / t.n_grams, 6) as dup_gram_fraction
+from totals t left join per_doc p using (doc_id)
+"""
