@@ -217,6 +217,10 @@ def main() -> None:
         ).count()
         queries["op_curation"] = round(time.time() - t0, 3)
 
+        t0 = time.time()
+        dedup.duplicated_ngrams(docs, n=8).count()
+        queries["op_dup_ngrams"] = round(time.time() - t0, 3)
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qv = emb.limit(1).toPandas()["embedding"].iloc[0]
         t0 = time.time()

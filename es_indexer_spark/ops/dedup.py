@@ -505,7 +505,15 @@ def duplicated_ngrams(df: DataFrame, n: int = 8, id_col: str = "doc_id") -> Data
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("n_dup_grams"))
     )
-    totals = grams.groupBy("id").agg(F.count("*").cast("long").alias("n_grams"))
+    # n_grams needs no gram stream at all: it is max(n_tokens - n + 1, 1)
+    # per doc — a pure column expression, so the expensive exploded stream
+    # has exactly TWO consumers (per-gram counts, semi join), not three
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(
+            F.size(tokens_col("text")) - F.lit(n - 1), F.lit(1)
+        ).cast("long").alias("n_grams"),
+    )
     return (
         totals.join(per_doc, "id", "left")
         .select(
