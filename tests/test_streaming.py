@@ -204,3 +204,37 @@ def test_firehose_dedup_to_incremental_index_end_to_end(spark, tmp_path):
     assert not ds.duplicated(["conv_id", "turn_idx"]).any()
     got = s.search(["baco"], k=2000)
     assert (got["conv_id"] >= "conv00000030").any()  # streamed docs searchable
+
+
+def test_time_travel_and_rollback_after_compaction(spark, tmp_path):
+    """Blue/green operations: after a compacting rebuild, the previous
+    version stays openable (time travel) and re-publishable (instant
+    rollback) — the reference's alias-swap story
+    (ElasticSearchIndexService.java:150-165) made concrete."""
+    from es_indexer_spark.index import catalog
+    from es_indexer_spark.streaming.incremental import rebuild_compacted
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    delete_docs(spark, idx, ["conv00000003:1", "conv00000004:2"])
+    pre = IndexSearcher(spark, idx)
+    n_pre_live = pre.manifest["n_docs"] - len(pre.tombstones)
+
+    res = rebuild_compacted(spark, idx)
+    post = IndexSearcher(spark, idx)
+    assert post.vdir == res["version_dir"] != res["previous_version_dir"]
+    assert post.manifest["n_docs"] == n_pre_live and len(post.tombstones) == 0
+
+    # time travel: the previous version is still fully queryable, with
+    # its tombstones intact
+    old = IndexSearcher(spark, idx, version_dir=res["previous_version_dir"])
+    assert old.manifest["n_docs"] == 80 and len(old.tombstones) == 2
+    assert old.search(["the"], k=5)["score"].tolist() != []
+
+    # rollback: re-publish the previous version; readers see it again
+    catalog.publish_version(idx, res["previous_version_dir"])
+    back = IndexSearcher(spark, idx)
+    assert back.vdir == res["previous_version_dir"]
+    assert back.manifest["n_docs"] == 80 and len(back.tombstones) == 2
+    # and the compacted version remains on disk for re-publish forward
+    assert os.path.isdir(res["version_dir"])
