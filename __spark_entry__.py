@@ -87,7 +87,7 @@ def _ft_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     validates tokenize → shuffle-by-term → encode → term_stats."""
     s = _index_for(spark, sf_dir)
     return (
-        spark.read.parquet(os.path.join(s.vdir, "term_stats"))
+        spark.read.parquet(s.term_stats_path)
         .select("term", F.col("df").cast("long").alias("df"),
                 F.col("total_tf").cast("long").alias("total_tf"))
     )
@@ -294,7 +294,7 @@ def _ft_churn_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term dictionary read out of the post-churn COMPACTED index."""
     s = _churn_searcher(spark, sf_dir)
     return (
-        spark.read.parquet(os.path.join(s.vdir, "term_stats"))
+        spark.read.parquet(s.term_stats_path)
         .select("term", F.col("df").cast("long").alias("df"),
                 F.col("total_tf").cast("long").alias("total_tf"))
     )

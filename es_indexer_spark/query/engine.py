@@ -111,6 +111,9 @@ class IndexSearcher:
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"])
         self.n_buckets = int(self.manifest["n_buckets"])
+        self.term_stats_path = os.path.join(
+            vdir, self.manifest.get("term_stats_dir", "term_stats")
+        )
         self._postings_ds = pads.dataset(
             os.path.join(vdir, "postings"), partitioning="hive", format="parquet"
         )
@@ -127,9 +130,14 @@ class IndexSearcher:
         # spark.read.parquet per query re-lists the index's files and
         # re-reads footers — ~40% of warm distributed-query latency at
         # 500k docs, and unbounded listing cost on a 10^5-file index.
-        # A searcher is bound to one index version, so the cached
-        # InMemoryFileIndex can never go stale (appends publish through a
-        # NEW searcher).
+        # SNAPSHOT CONTRACT (Lucene point-in-time reader semantics): a
+        # searcher sees the version AS OF OPEN. Appends only ADD files
+        # (new batch dirs) and write a fresh versioned term_stats dir —
+        # nothing a cached file index references is ever deleted or
+        # replaced in place — so cached listings stay valid forever; they
+        # simply don't include later appends. Call ``refresh()`` (or open
+        # a new searcher) to see subsequent appends; compaction publishes
+        # a whole new version dir.
         self._postings_src: DataFrame | None = None
         self._doc_stats_src: DataFrame | None = None
         self._term_stats_src: DataFrame | None = None
@@ -203,7 +211,7 @@ class IndexSearcher:
     def term_dictionary(self) -> pd.DataFrame:
         if self._term_dict is None:
             self._term_dict = (
-                pads.dataset(os.path.join(self.vdir, "term_stats"), format="parquet")
+                pads.dataset(self.term_stats_path, format="parquet")
                 .to_table(columns=["term", "df", "total_tf"])
                 .to_pandas()
                 .sort_values("term")
@@ -593,6 +601,15 @@ class IndexSearcher:
         r = dq.iloc[0]
         return int(r["base"]), np.frombuffer(r["dl_bytes"], dtype="<i4").astype(np.int64)
 
+    def refresh(self) -> "IndexSearcher":
+        """Reopen at the CURRENT state of the index (Lucene's
+        DirectoryReader.openIfChanged): releases this searcher's
+        executor-side caches and returns a fresh point-in-time searcher
+        that sees all appends/deletes/compactions committed since this
+        one opened."""
+        self.close()
+        return IndexSearcher(self.spark, self.index_dir)
+
     def close(self) -> None:
         """Release executor-side caches (the persisted doc-side norms)."""
         if self._doc_side_df is not None:
@@ -879,9 +896,7 @@ class IndexSearcher:
     # ---------------------------------------- distributed dictionary expansion
     def _term_stats_sdf(self) -> DataFrame:
         if self._term_stats_src is None:
-            self._term_stats_src = self.spark.read.parquet(
-                os.path.join(self.vdir, "term_stats")
-            )
+            self._term_stats_src = self.spark.read.parquet(self.term_stats_path)
         return self._term_stats_src
 
     def expand_prefix_df(self, prefix: str, max_expansions: int = 50) -> list[str]:

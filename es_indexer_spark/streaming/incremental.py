@@ -145,9 +145,10 @@ def append_batch(
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"), F.avg("dl").alias("avg"))
         .collect()[0]
     )
-    _rebuild_term_stats(spark, vdir, n_buckets)
+    ts_dir = _rebuild_term_stats(spark, vdir, n_buckets, bid)
     manifest.update(
         {
+            "term_stats_dir": ts_dir,
             "n_docs": int(stats["n"]),
             "total_tokens": int(stats["tot"] or 0),
             "avgdl": float(stats["avg"] or 0.0),
@@ -163,11 +164,18 @@ def append_batch(
     return {"appended": m, "n_docs": n_total, "batch": bid}
 
 
-def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int) -> None:
+def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int, bid: int) -> str:
+    """Recompute the term dictionary into a NEW versioned directory and
+    return its name (recorded in the manifest as ``term_stats_dir``).
+    The previous directory is left in place ON PURPOSE: open searchers
+    hold cached file indexes over it (point-in-time snapshot semantics —
+    an in-place os.replace would break live readers with
+    FileNotFoundException). Compaction's fresh version dir is where old
+    copies get reclaimed."""
     from ..index.build import term_bucket_col
 
     postings = spark.read.parquet(os.path.join(vdir, "postings"))
-    tmp = os.path.join(vdir, "term_stats_new")
+    name = f"term_stats_b{bid:05d}"
     (
         postings.groupBy("term")
         .agg(
@@ -180,13 +188,9 @@ def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int) -> None:
         .repartitionByRange(max(1, n_buckets // 16), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
-        .parquet(tmp)
+        .parquet(os.path.join(vdir, name))
     )
-    final = os.path.join(vdir, "term_stats")
-    import shutil
-
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
+    return name
 
 
 def incremental_index(

@@ -238,3 +238,34 @@ def test_time_travel_and_rollback_after_compaction(spark, tmp_path):
     assert back.manifest["n_docs"] == 80 and len(back.tombstones) == 2
     # and the compacted version remains on disk for re-publish forward
     assert os.path.isdir(res["version_dir"])
+
+
+def test_open_searcher_survives_append_and_refresh_sees_it(spark, tmp_path):
+    """Snapshot contract (the round-4 review finding): a searcher opened
+    BEFORE an append must keep answering from its point-in-time view —
+    appends write new batch dirs and a fresh versioned term_stats dir, so
+    nothing a cached file index references is replaced in place.
+    refresh() then reopens at the current state."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    old = IndexSearcher(spark, idx)
+    # populate every cached source: distributed search (postings+doc_stats
+    # +doc-side), suggest_df (term_stats), dictionary
+    before_top = old.search_df(["baco"], k=5).collect()
+    old.suggest_df("ba", k=3).collect()
+    n_before = old.n_docs
+
+    append_batch(spark, _corpus(spark, 20, 30), idx)
+
+    # the pre-append searcher still works, still sees its snapshot
+    again = old.search_df(["baco"], k=5).collect()
+    assert [r["doc_ord"] for r in again] == [r["doc_ord"] for r in before_top]
+    assert old.suggest_df("ba", k=3).count() >= 0  # term_stats not broken
+    assert old.n_docs == n_before
+
+    # refresh() sees the appended docs with fresh global stats
+    new = old.refresh()
+    assert new.n_docs == 30 * 4
+    got = new.search_df(["baco"], k=1000).collect()
+    assert any(r["conv_id"] >= "conv00000020" for r in got)
+    new.close()
