@@ -268,6 +268,9 @@ def main() -> None:
         out["big_query_p50_ms"] = round(float(np.percentile(big_lats, 50)) * 1000, 1)
         out["big_query_p95_ms"] = round(float(np.percentile(big_lats, 95)) * 1000, 1)
         sbig.close()
+        import shutil
+
+        shutil.rmtree(big_dir, ignore_errors=True)  # hundreds of MB/run
 
     out.update(
         {

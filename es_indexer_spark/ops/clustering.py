@@ -67,9 +67,16 @@ def connected_components(
             .agg(F.min("nl").alias("nbr_label"))
             .select(F.col("src").alias("id"), "nbr_label")
         )
-        hopped = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        hopped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            # materialized before the self-join below: both sides of the
+            # JUMP reference this frame, and without the checkpoint the
+            # O(E) edge-join HOP would execute twice per round
+            .localCheckpoint(eager=True)
         )
         # JUMP (pointer doubling): label ← min(label, label(label)) — every
         # label is itself a node id present in the table, so one self-join
@@ -84,7 +91,7 @@ def connected_components(
                 "id",
                 F.least(F.col("label"), F.coalesce("_jl", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)  # materialize + cut lineage per round
+            .localCheckpoint(eager=True)  # cut lineage per round
         )
         converged = (
             new_labels.select("id", F.col("label").alias("new_label"))
@@ -96,7 +103,9 @@ def connected_components(
         if converged:
             break
     out = labels.select("id", F.col("label").alias("cluster_id"))
-    out._n_rounds = n_rounds  # exposed for convergence tests/telemetry
+    # best-effort telemetry for tests: a plain attribute, lost on any
+    # further transformation — not API
+    out._n_rounds = n_rounds
     return out
 
 

@@ -226,8 +226,15 @@ def unigram_logprob(
     corpus-sized shuffle total."""
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
     tf = toks.groupBy("term").agg(F.count("*").alias("n"))
-    total = tf.agg(F.sum("n")).collect()[0][0] or 1  # O(1) driver scalar
-    probs = tf.withColumn("logp", F.log(F.col("n") / F.lit(float(total))))
+    # the corpus token total rides the SAME lazy plan as a broadcast
+    # 1-row cross join — an eager .collect() here would run a full
+    # corpus aggregation at plan-construction time and then recompute
+    # tf again on execution (review finding)
+    total = tf.agg(F.sum("n").cast("double").alias("_total"))
+    probs = (
+        tf.crossJoin(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("n") / F.col("_total")))
+    )
     return (
         toks.join(F.broadcast(probs.select("term", "logp")), "term")
         .groupBy(id_col)

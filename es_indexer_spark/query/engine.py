@@ -563,9 +563,12 @@ class IndexSearcher:
                 pdf = pdf.sort_values("doc_ord")
                 ords = pdf["doc_ord"].to_numpy(np.int64)
                 base, n_rows = int(ords[0]), len(ords)
-                assert int(ords[-1]) - base + 1 == n_rows, (
-                    f"segment {key[0]} doc_ord range not dense"
-                )
+                if int(ords[-1]) - base + 1 != n_rows:  # not assert: -O
+                    raise ValueError(
+                        f"segment {key[0]} doc_ord range not dense "
+                        f"({base}..{int(ords[-1])} over {n_rows} rows) — "
+                        "packed norms would misalign"
+                    )
                 return pd.DataFrame(
                     [
                         {
@@ -776,10 +779,17 @@ class IndexSearcher:
                  "score": [float(r["score"]) for r in top_rows]}
             )
         )
+        base = self.doc_stats_df().select(
+            "doc_ord", "doc_id", "conv_id", "turn_idx", "role"
+        )
+        # the IN-literal is a pushdown optimization, not a requirement:
+        # past the same 10k threshold the tombstone mask uses, a literal
+        # that size would bloat every task plan — the broadcast join
+        # below already bounds the result, so just skip the pushdown
+        if len(ords) <= 10_000:
+            base = base.filter(F.col("doc_ord").isin(ords))
         return (
-            self.doc_stats_df()
-            .filter(F.col("doc_ord").isin(ords))
-            .select("doc_ord", "doc_id", "conv_id", "turn_idx", "role")
+            base
             .join(F.broadcast(score_df), "doc_ord")
             .select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score")
             .orderBy(F.desc("score"), F.asc("doc_ord"))

@@ -214,8 +214,10 @@ def incremental_index(
         from .operators import streaming_dedup
 
         n_buckets = dedup if isinstance(dedup, int) and dedup is not True else 64
+        from ..corpus import TRANSCRIPT_SCHEMA
+
         stream_df = streaming_dedup(stream_df, n_buckets=n_buckets).select(
-            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            *[f.name for f in TRANSCRIPT_SCHEMA.fields]
         )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
