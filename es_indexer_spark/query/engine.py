@@ -524,7 +524,8 @@ class IndexSearcher:
 
     _DOC_SIDE_SCHEMA = (
         "seg int, base long, n_docs int, dl_bytes binary, "
-        "role_bytes binary, tool_bytes binary"
+        "role_bytes binary, tool_bytes binary, "
+        "role_dict array<string>, tool_dict array<string>"
     )
 
     def _doc_side(self) -> DataFrame:
@@ -541,23 +542,14 @@ class IndexSearcher:
         entirely. Packing relies on the build invariant that each segment
         covers a dense doc_ord range (asserted per segment).
 
-        Role/tool values are dictionary-encoded with searcher-level code
-        maps (collected once from the bounded categorical columns); the
-        scoring kernel turns query-time boost dicts into O(#codes) lookup
-        tables. A searcher is bound to one index version; construct a
-        fresh one after appends."""
+        Role/tool values are dictionary-encoded with SEGMENT-LOCAL code
+        maps shipped inside each packed row, so building the doc side is
+        ONE corpus scan with no global vocabulary pass and no driver
+        state; the scoring kernel turns query-time boost dicts into
+        O(#codes) lookup tables from the row's own dictionaries. A
+        searcher is a point-in-time snapshot; refresh() to see appends."""
         if self._doc_side_df is None:
             ds = self.doc_stats_df().select("seg", "doc_ord", "dl", "role", "tool")
-            # one scan for both code vocabularies (bounded categoricals)
-            vocab_row = ds.agg(
-                F.collect_set("role").alias("roles"),
-                F.collect_set("tool").alias("tools"),
-            ).collect()[0]
-            roles = sorted(vocab_row["roles"])
-            tools = sorted(vocab_row["tools"])
-            self._role_codes = {v: i + 1 for i, v in enumerate(roles)}  # 0 = null
-            self._tool_codes = {v: i + 1 for i, v in enumerate(tools)}
-            role_codes, tool_codes = self._role_codes, self._tool_codes
 
             def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("doc_ord")
@@ -569,6 +561,12 @@ class IndexSearcher:
                         f"({base}..{int(ords[-1])} over {n_rows} rows) — "
                         "packed norms would misalign"
                     )
+                # SEGMENT-LOCAL dictionaries: codes only need to be
+                # consistent within the packed row they ship with, so no
+                # global vocabulary pass (or driver code state) exists at
+                # all — the pack is ONE corpus scan total. Code 0 = null.
+                rc, r_uniq = pd.factorize(pdf["role"], use_na_sentinel=True)
+                tc, t_uniq = pd.factorize(pdf["tool"], use_na_sentinel=True)
                 return pd.DataFrame(
                     [
                         {
@@ -577,10 +575,10 @@ class IndexSearcher:
                             "n_docs": n_rows,
                             "dl_bytes": pdf["dl"].to_numpy(np.int32)
                             .astype("<i4").tobytes(),
-                            "role_bytes": pdf["role"].map(role_codes)
-                            .fillna(0).to_numpy(np.int16).astype("<i2").tobytes(),
-                            "tool_bytes": pdf["tool"].map(tool_codes)
-                            .fillna(0).to_numpy(np.int16).astype("<i2").tobytes(),
+                            "role_bytes": (rc + 1).astype("<i2").tobytes(),
+                            "tool_bytes": (tc + 1).astype("<i2").tobytes(),
+                            "role_dict": [str(v) for v in r_uniq],
+                            "tool_dict": [str(v) for v in t_uniq],
                         }
                     ]
                 )
@@ -683,9 +681,6 @@ class IndexSearcher:
         if phrase_terms:
             mode = "and"
 
-        role_codes = dict(getattr(self, "_role_codes", {}))
-        tool_codes = dict(getattr(self, "_tool_codes", {}))
-
         def score_seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
             if len(pq) == 0 or len(dq) == 0:
                 return pd.DataFrame({"doc_ord": [], "score": []})
@@ -694,18 +689,18 @@ class IndexSearcher:
             dl_of = np.frombuffer(r0["dl_bytes"], dtype="<i4").astype(np.int64)
             boost_of = None
             if rb or tb:
-                # boost dicts → O(#codes) lookup tables over the packed
-                # int16 code arrays (code 0 = null → weight 1.0)
-                rlut = np.ones(len(role_codes) + 1, dtype=np.float64)
-                for rname, w in rb.items():
-                    i = role_codes.get(rname)
-                    if i:
-                        rlut[i] = w
-                tlut = np.ones(len(tool_codes) + 1, dtype=np.float64)
-                for tname, w in tb.items():
-                    i = tool_codes.get(tname)
-                    if i:
-                        tlut[i] = w
+                # boost dicts → O(#codes) lookup tables built from the
+                # row's SEGMENT-LOCAL dictionaries (code 0 = null → 1.0)
+                r_dict = list(r0["role_dict"])
+                t_dict = list(r0["tool_dict"])
+                rlut = np.ones(len(r_dict) + 1, dtype=np.float64)
+                for i, name in enumerate(r_dict):
+                    if name in rb:
+                        rlut[i + 1] = rb[name]
+                tlut = np.ones(len(t_dict) + 1, dtype=np.float64)
+                for i, name in enumerate(t_dict):
+                    if name in tb:
+                        tlut[i + 1] = tb[name]
                 boost_of = (
                     rlut[np.frombuffer(r0["role_bytes"], dtype="<i2")]
                     * tlut[np.frombuffer(r0["tool_bytes"], dtype="<i2")]
