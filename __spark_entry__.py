@@ -51,14 +51,28 @@ BM25_TERMS = ["spark", "merge", "join"]
 BM25_K = 10
 
 _INDEX_CACHE: dict[str, str] = {}
+# searcher instances are cached too: a fresh IndexSearcher per entry call
+# would re-persist the packed doc-side norms each time and leak the
+# previous copy (review finding) — one long-lived searcher per index is
+# also the deployed shape
+_SEARCHER_CACHE: dict[str, "object"] = {}
+
+
+def _searcher_for(spark: SparkSession, key: str, idx_dir: str) -> "object":
+    from es_indexer_spark.query.engine import IndexSearcher
+
+    s = _SEARCHER_CACHE.get(key)
+    if s is None or s.vdir is None or not os.path.isdir(s.vdir):
+        s = IndexSearcher(spark, idx_dir)
+        _SEARCHER_CACHE[key] = s
+    return s
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> "object":
     """Build (once per sf_dir per process) a real index over the documents
-    table adapted to the transcript shape; return an IndexSearcher."""
+    table adapted to the transcript shape; return a cached IndexSearcher."""
     from es_indexer_spark.corpus import documents_as_transcripts
     from es_indexer_spark.index.build import build_index
-    from es_indexer_spark.query.engine import IndexSearcher
 
     idx_dir = _INDEX_CACHE.get(sf_dir)
     if idx_dir is None or not os.path.exists(os.path.join(idx_dir, "CURRENT")):
@@ -66,7 +80,8 @@ def _index_for(spark: SparkSession, sf_dir: str) -> "object":
         tx = documents_as_transcripts(spark, sf_dir)
         build_index(spark, tx, idx_dir, n_buckets=16, n_segments=4)
         _INDEX_CACHE[sf_dir] = idx_dir
-    return IndexSearcher(spark, idx_dir)
+        _SEARCHER_CACHE.pop(sf_dir, None)
+    return _searcher_for(spark, sf_dir, idx_dir)
 
 
 # --------------------------------------------------------------------------
@@ -139,7 +154,8 @@ def _pos_searcher(spark: SparkSession, sf_dir: str) -> "object":
         build_index(spark, tx, idx_dir, n_buckets=16, n_segments=4,
                     with_positions=True)
         _INDEX_CACHE[key] = idx_dir
-    return IndexSearcher(spark, idx_dir)
+        _SEARCHER_CACHE.pop(key, None)
+    return _searcher_for(spark, key, idx_dir)
 
 
 def _ft_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,7 +295,8 @@ def _churn_searcher(spark: SparkSession, sf_dir: str) -> "object":
         inc.delete_docs(spark, idx_dir, del_ids)
         inc.rebuild_compacted(spark, idx_dir)
         _INDEX_CACHE[key] = idx_dir
-    return IndexSearcher(spark, idx_dir)
+        _SEARCHER_CACHE.pop(key, None)
+    return _searcher_for(spark, key, idx_dir)
 
 
 _SQL_LIVE_AFTER_CHURN = f"""(

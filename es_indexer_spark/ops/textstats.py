@@ -226,11 +226,15 @@ def unigram_logprob(
     corpus-sized shuffle total."""
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
     tf = toks.groupBy("term").agg(F.count("*").alias("n"))
-    # the corpus token total rides the SAME lazy plan as a broadcast
-    # 1-row cross join — an eager .collect() here would run a full
-    # corpus aggregation at plan-construction time and then recompute
-    # tf again on execution (review finding)
-    total = tf.agg(F.sum("n").cast("double").alias("_total"))
+    # the corpus token total rides the lazy plan as a broadcast 1-row
+    # cross join, derived from a LIGHT map-side sum of per-doc token
+    # counts — deriving it from tf would re-run the heavy explode+groupBy
+    # a second time, and an eager .collect() would run it at plan-
+    # construction time (review findings, both rounds)
+    total = (
+        df.select(F.size(tokens_col(text_col)).alias("_n"))
+        .agg(F.sum("_n").cast("double").alias("_total"))
+    )
     probs = (
         tf.crossJoin(F.broadcast(total))
         .withColumn("logp", F.log(F.col("n") / F.col("_total")))

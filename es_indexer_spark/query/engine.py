@@ -138,9 +138,19 @@ class IndexSearcher:
         # simply don't include later appends. Call ``refresh()`` (or open
         # a new searcher) to see subsequent appends; compaction publishes
         # a whole new version dir.
-        self._postings_src: DataFrame | None = None
-        self._doc_stats_src: DataFrame | None = None
-        self._term_stats_src: DataFrame | None = None
+        # built EAGERLY so the snapshot is taken at open — a lazy first
+        # use would list files at whatever later moment the source is
+        # first touched, splicing a mid-append state into a searcher
+        # whose stats/tombstones are as-of-open (review finding)
+        self._postings_src: DataFrame = self.spark.read.parquet(
+            os.path.join(vdir, "postings")
+        )
+        self._doc_stats_src: DataFrame = self.spark.read.parquet(
+            os.path.join(vdir, "doc_stats")
+        )
+        self._term_stats_src: DataFrame = self.spark.read.parquet(
+            self.term_stats_path
+        )
         # corpora larger than this auto-dispatch search/count/phrase/suggest
         # to the distributed path (driver path holds O(corpus) norms)
         self.driver_max_docs = int(os.environ.get("ES_IDX_DRIVER_MAX_DOCS", 20_000_000))
@@ -456,10 +466,6 @@ class IndexSearcher:
 
     # ------------------------------------------------------ scan/point ops
     def doc_stats_df(self) -> DataFrame:
-        if self._doc_stats_src is None:
-            self._doc_stats_src = self.spark.read.parquet(
-                os.path.join(self.vdir, "doc_stats")
-            )
         return self._doc_stats_src
 
     def get(self, doc_id: str) -> pd.DataFrame:
@@ -567,6 +573,13 @@ class IndexSearcher:
                 # all — the pack is ONE corpus scan total. Code 0 = null.
                 rc, r_uniq = pd.factorize(pdf["role"], use_na_sentinel=True)
                 tc, t_uniq = pd.factorize(pdf["tool"], use_na_sentinel=True)
+                if max(len(r_uniq), len(t_uniq)) >= 32_767:  # int16 wrap
+                    raise ValueError(
+                        f"segment {key[0]}: role/tool cardinality "
+                        f"({len(r_uniq)}/{len(t_uniq)}) exceeds int16 codes — "
+                        "these are bounded categoricals by schema; widen the "
+                        "code dtype if that ever changes"
+                    )
                 return pd.DataFrame(
                     [
                         {
@@ -597,11 +610,6 @@ class IndexSearcher:
             )
         return self._doc_side_df
 
-    def _unpack_doc_side(self, dq: pd.DataFrame):
-        """(base, dl array) from the packed one-row-per-segment doc side."""
-        r = dq.iloc[0]
-        return int(r["base"]), np.frombuffer(r["dl_bytes"], dtype="<i4").astype(np.int64)
-
     def refresh(self) -> "IndexSearcher":
         """Reopen at the CURRENT state of the index (Lucene's
         DirectoryReader.openIfChanged): releases this searcher's
@@ -619,10 +627,6 @@ class IndexSearcher:
 
     def _postings_df(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        if self._postings_src is None:
-            self._postings_src = self.spark.read.parquet(
-                os.path.join(self.vdir, "postings")
-            )
         return (
             self._postings_src
             .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
@@ -900,8 +904,6 @@ class IndexSearcher:
 
     # ---------------------------------------- distributed dictionary expansion
     def _term_stats_sdf(self) -> DataFrame:
-        if self._term_stats_src is None:
-            self._term_stats_src = self.spark.read.parquet(self.term_stats_path)
         return self._term_stats_src
 
     def expand_prefix_df(self, prefix: str, max_expansions: int = 50) -> list[str]:

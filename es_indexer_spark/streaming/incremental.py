@@ -38,6 +38,13 @@ from ..index import catalog
 from ..index.build import _enc_schema, _tokenize_encode, merge_chunks
 
 
+# epoch-derived batch ids live at EPOCH_BID_BASE + epoch_id; manual
+# appends allocate strictly below it, so the two can never collide —
+# a stream replaying epoch N must overwrite ITS OWN directory, never a
+# manual batch that happened to land on the same number (review finding)
+EPOCH_BID_BASE = 10_000
+
+
 def _next_batch_id(postings_root: str) -> int:
     if not os.path.isdir(postings_root):
         return 0
@@ -46,7 +53,14 @@ def _next_batch_id(postings_root: str) -> int:
         for d in os.listdir(postings_root)
         if d.startswith("batch=")
     ]
-    return max(ids) + 1 if ids else 0
+    manual = [i for i in ids if i < EPOCH_BID_BASE]
+    nxt = max(manual) + 1 if manual else 0
+    if nxt >= EPOCH_BID_BASE:
+        raise RuntimeError(
+            f"manual append batch ids exhausted ({EPOCH_BID_BASE}); compact "
+            "the index (rebuild_compacted) to reset batch numbering"
+        )
+    return nxt
 
 
 def append_batch(
@@ -84,7 +98,11 @@ def append_batch(
 
     dl_udf = F.pandas_udf(_dl, T.IntegerType())
     postings_root = os.path.join(vdir, "postings")
-    bid = _next_batch_id(postings_root) if epoch_id is None else 10_000 + int(epoch_id)
+    bid = (
+        _next_batch_id(postings_root)
+        if epoch_id is None
+        else EPOCH_BID_BASE + int(epoch_id)
+    )
     seg_id = int(manifest["n_segments"]) + bid  # fresh segment label per batch
 
     # ordinals continue densely after the existing corpus, in stable
@@ -99,8 +117,15 @@ def append_batch(
 
     docs = assign_doc_ordinals(batch, assume_sorted=True)
     m = docs._total_count
+    # capture the persisted parent BEFORE rebinding `docs` — withColumn
+    # returns a fresh DataFrame without the attribute, and losing the
+    # handle leaks one MEMORY_AND_DISK dataset per micro-batch on a
+    # long-running stream (review finding)
+    parent = getattr(docs, "_persisted_parent", None)
     docs = docs.withColumn("doc_ord", F.col("doc_ord") + F.lit(n_before))
     if m == 0:
+        if parent is not None:
+            parent.unpersist()
         return {"appended": 0, "n_docs": n_before}
 
     doc_slice = (
@@ -114,7 +139,6 @@ def append_batch(
     # idempotent per-epoch append: distinct partition directory, overwrite
     ds_batch = os.path.join(vdir, "doc_stats", f"batch={bid}")
     doc_slice.write.mode("overwrite").parquet(ds_batch)
-    parent = getattr(docs, "_persisted_parent", None)
     if parent is not None:  # release the ordinal-assignment cache per epoch
         parent.unpersist()
     doc_slice = spark.read.parquet(ds_batch)

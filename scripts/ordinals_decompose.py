@@ -19,8 +19,13 @@ pollutes the stage):
   C. + persist+count= the real assign_doc_ordinals actions: persist
                       (MEMORY_AND_DISK materialization of the shuffled
                       sorted rows) + groupBy(partition).count collect
-  D. + enumerate    = C + the mapInPandas enumeration pass consumed once
-                      from the persisted parent                 (noop)
+  D. + enumerate    = C + the ordinal projection consumed once from
+                      the persisted parent (noop). NOTE: windows up to
+                      2026-08-17 measured the former mapInPandas
+                      enumeration; after the round-4 fix this is a pure
+                      JVM column expression (monotonically_increasing_id
+                      + broadcast offsets), so post-fix windows measure
+                      that projection and D−C reads ≈0
 
 Components: scan = A; range_shuffle_sort = B−A; persist+count = C−B;
 enumerate = D−C. Each level runs in its own subprocess (own JVM),
