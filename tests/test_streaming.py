@@ -269,3 +269,41 @@ def test_open_searcher_survives_append_and_refresh_sees_it(spark, tmp_path):
     got = new.search_df(["baco"], k=1000).collect()
     assert any(r["conv_id"] >= "conv00000020" for r in got)
     new.close()
+
+
+def test_manual_and_epoch_batch_ids_never_collide(spark, tmp_path):
+    """Review finding: manual appends allocated max(existing)+1, which
+    could land on the NEXT stream epoch's id — that epoch's replay would
+    then overwrite the manual batch in place. Manual ids now live
+    strictly below EPOCH_BID_BASE."""
+    from es_indexer_spark.streaming.incremental import EPOCH_BID_BASE
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 10), idx, n_buckets=8, n_segments=2)
+    r_epoch0 = append_batch(spark, _corpus(spark, 10, 12), idx, epoch_id=0)
+    r_manual = append_batch(spark, _corpus(spark, 12, 14), idx)
+    r_epoch1 = append_batch(spark, _corpus(spark, 14, 16), idx, epoch_id=1)
+    bids = {r_epoch0["batch"], r_manual["batch"], r_epoch1["batch"]}
+    assert len(bids) == 3
+    assert r_manual["batch"] < EPOCH_BID_BASE <= r_epoch0["batch"]
+    assert r_epoch1["batch"] == EPOCH_BID_BASE + 1
+    s = IndexSearcher(spark, idx)
+    assert s.n_docs == 16 * 4  # nothing overwritten
+    vdir = s.vdir
+    for b in bids:
+        assert os.path.isdir(os.path.join(vdir, "postings", f"batch={b}"))
+
+
+def test_append_batch_releases_ordinal_cache(spark, tmp_path):
+    """Review finding: the persisted ordinal-assignment cache leaked every
+    micro-batch because the DataFrame was rebound before the handle was
+    read — a long-running stream grew executor memory without bound."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 10), idx, n_buckets=8, n_segments=2)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for epoch in range(3):
+        append_batch(spark, _corpus(spark, 10 + epoch, 11 + epoch), idx,
+                     epoch_id=epoch)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"persisted RDDs grew {before} -> {after} (leak)"
