@@ -62,7 +62,9 @@ def _searcher_for(spark: SparkSession, key: str, idx_dir: str) -> "object":
     from es_indexer_spark.query.engine import IndexSearcher
 
     s = _SEARCHER_CACHE.get(key)
-    if s is None or s.vdir is None or not os.path.isdir(s.vdir):
+    # rebuild on a NEW SparkSession too: a cached searcher pins source
+    # DataFrames and persisted norms to the session it was built with
+    if s is None or s.spark is not spark or not os.path.isdir(s.vdir):
         s = IndexSearcher(spark, idx_dir)
         _SEARCHER_CACHE[key] = s
     return s

@@ -133,11 +133,13 @@ class IndexSearcher:
         # SNAPSHOT CONTRACT (Lucene point-in-time reader semantics): a
         # searcher sees the version AS OF OPEN. Appends only ADD files
         # (new batch dirs) and write a fresh versioned term_stats dir —
-        # nothing a cached file index references is ever deleted or
-        # replaced in place — so cached listings stay valid forever; they
-        # simply don't include later appends. Call ``refresh()`` (or open
-        # a new searcher) to see subsequent appends; compaction publishes
-        # a whole new version dir.
+        # nothing a cached file index references is replaced in place.
+        # Postings/doc_stats snapshots stay valid indefinitely (appends
+        # only ADD batch dirs); the term dictionary is retained for the
+        # current + previous append (older copies are expired,
+        # Iceberg-snapshot style), so refresh() within one append — or
+        # open a new searcher — to stay inside the retention horizon.
+        # Compaction publishes a whole new version dir.
         # built EAGERLY so the snapshot is taken at open — a lazy first
         # use would list files at whatever later moment the source is
         # first touched, splicing a mid-append state into a searcher
@@ -778,14 +780,16 @@ class IndexSearcher:
                  "score": [float(r["score"]) for r in top_rows]}
             )
         )
+        from ..planlimits import IN_LITERAL_MAX
+
         base = self.doc_stats_df().select(
             "doc_ord", "doc_id", "conv_id", "turn_idx", "role"
         )
         # the IN-literal is a pushdown optimization, not a requirement:
-        # past the same 10k threshold the tombstone mask uses, a literal
-        # that size would bloat every task plan — the broadcast join
-        # below already bounds the result, so just skip the pushdown
-        if len(ords) <= 10_000:
+        # past the SHARED plan-bloat threshold (planlimits.IN_LITERAL_MAX,
+        # same cutoff as the tombstone mask) skip it — the broadcast join
+        # below already bounds the result
+        if len(ords) <= IN_LITERAL_MAX:
             base = base.filter(F.col("doc_ord").isin(ords))
         return (
             base

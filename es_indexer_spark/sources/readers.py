@@ -38,12 +38,49 @@ def _schema_with_corrupt() -> T.StructType:
 
 
 def _invalid():  # built lazily: Column construction needs a live session
+    # covers cast failures too: the schema's non-null columns arriving
+    # NULL (e.g. a garbage ts string cast to timestamp) are quarantined,
+    # not silently nulled into the corpus
     return (
         F.col("conv_id").isNull()
         | F.col("turn_idx").isNull()
         | (F.col("turn_idx") < 0)
         | F.col("text").isNull()
+        | F.col("role").isNull()
+        | F.col("ts").isNull()
     )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a (possibly corrupt-columned) transcript frame into
+    ``(good, bad)``: good rows in TRANSCRIPT_SCHEMA column order; bad
+    rows as (raw, reason) for the dead-letter sink. Works on batch reads
+    AND on the micro-batch frames inside a streaming foreachBatch — the
+    one quarantine implementation both paths share."""
+    parsed_bad = None
+    if _CORRUPT in df.columns:
+        # Spark refuses plans whose referenced columns are ONLY the
+        # internal corrupt column, and column pruning (e.g. under a bare
+        # count()) strips everything a select references — the filter
+        # must irreducibly touch a parsed column. length(concat_ws(...))
+        # >= 0 is always true, never null, and never folded away.
+        touch_parsed = F.length(F.concat_ws("", F.col("conv_id"), F.col("role"))) >= 0
+        parsed_bad = (
+            df.filter(F.col(_CORRUPT).isNotNull() & touch_parsed)
+            .select(
+                F.coalesce(F.col(_CORRUPT), F.col("conv_id")).alias("raw"),
+                F.lit("parse_error").alias("reason"),
+            )
+        )
+        df = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    good = df.filter(~_invalid()).select(*cols)
+    invalid = df.filter(_invalid()).select(
+        F.to_json(F.struct(*cols)).alias("raw"),
+        F.lit("invalid_key").alias("reason"),
+    )
+    bad = parsed_bad.unionByName(invalid) if parsed_bad is not None else invalid
+    return good, bad
 
 
 def read_transcripts(
@@ -65,7 +102,6 @@ def read_transcripts(
         typed = df.select(
             *[F.col(f.name).cast(f.dataType) for f in TRANSCRIPT_SCHEMA.fields]
         )
-        parsed_bad = None
     elif fmt in ("json", "csv"):
         reader = (
             spark.read.schema(_schema_with_corrupt())
@@ -73,35 +109,11 @@ def read_transcripts(
             .option("columnNameOfCorruptRecord", _CORRUPT)
             .options(**({"header": "true"} if fmt == "csv" else {}), **options)
         )
-        raw = reader.json(path) if fmt == "json" else reader.csv(path)
-        # Spark refuses plans whose referenced columns are ONLY the
-        # internal corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
-        # column pruning (e.g. under a bare count()) strips everything a
-        # select references — so the FILTER itself must irreducibly touch
-        # a parsed column. length(concat_ws(...)) >= 0 is always true,
-        # never null, and no optimizer rule folds it away.
-        touch_parsed = F.length(F.concat_ws("", F.col("conv_id"), F.col("role"))) >= 0
-        parsed_bad = (
-            raw.filter(F.col(_CORRUPT).isNotNull() & touch_parsed)
-            .select(
-                F.coalesce(F.col(_CORRUPT), F.col("conv_id")).alias("raw"),
-                F.lit("parse_error").alias("reason"),
-            )
-        )
-        typed = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+        typed = reader.json(path) if fmt == "json" else reader.csv(path)
     else:
         raise ValueError(f"unsupported transcript source format: {format}")
 
-    good = typed.filter(~_invalid()).select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
-    invalid = (
-        typed.filter(_invalid())
-        .select(
-            F.to_json(F.struct(*[f.name for f in TRANSCRIPT_SCHEMA.fields])).alias("raw"),
-            F.lit("invalid_key").alias("reason"),
-        )
-    )
-    bad = parsed_bad.unionByName(invalid) if parsed_bad is not None else invalid
-    return good, bad
+    return split_quarantine(typed)
 
 
 def read_stream_transcripts(

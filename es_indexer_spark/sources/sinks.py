@@ -40,11 +40,14 @@ def write_dead_letter(
     batch_id: int | None = None,
 ) -> None:
     """Append quarantined rows (raw record + reason) with an audit
-    timestamp column; per-batch subdirectories keep replays idempotent
-    (same epoch overwrites its own directory, the convention the
-    incremental index sink uses)."""
+    timestamp column. The layout is uniformly hive-partitioned by a
+    string ``batch`` key — epoch writes go to ``batch=<epoch>`` with
+    overwrite (replays stay idempotent, the incremental sink's
+    convention) and ad-hoc writes append under ``batch=adhoc`` — so
+    mixing the two modes on one path never produces the 'conflicting
+    directory structures' layout parquet readers refuse to load."""
     out = bad.withColumn("quarantined_at", F.current_timestamp())
     if batch_id is not None:
         out.write.mode("overwrite").parquet(f"{path}/batch={int(batch_id)}")
     else:
-        out.write.mode("append").parquet(path)
+        out.write.mode("append").parquet(f"{path}/batch=adhoc")

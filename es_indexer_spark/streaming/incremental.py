@@ -169,6 +169,7 @@ def append_batch(
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"), F.avg("dl").alias("avg"))
         .collect()[0]
     )
+    prev_ts_dir = manifest.get("term_stats_dir", "term_stats")
     ts_dir = _rebuild_term_stats(spark, vdir, n_buckets, bid)
     manifest.update(
         {
@@ -184,6 +185,17 @@ def append_batch(
         {"batch": bid, "epoch_id": epoch_id, "appended": m,
          "doc_ord_range": [n_before, n_total], "seg": seg_id},
     )
+    # term_stats retention (Iceberg snapshot-expiry analogue): keep the
+    # just-published dictionary AND the previous one — searchers opened
+    # before THIS append stay valid; anything older must refresh()
+    # within one append or re-open. Without expiry a long-running stream
+    # accumulates one full O(vocab) dictionary per micro-batch.
+    import shutil
+
+    keep = {ts_dir, prev_ts_dir}
+    for d in os.listdir(vdir):
+        if (d == "term_stats" or d.startswith("term_stats_b")) and d not in keep:
+            shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
     assert int(stats["n"]) == n_total, "doc_stats count drifted from ordinals"
     return {"appended": m, "n_docs": n_total, "batch": bid}
 
@@ -191,11 +203,12 @@ def append_batch(
 def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int, bid: int) -> str:
     """Recompute the term dictionary into a NEW versioned directory and
     return its name (recorded in the manifest as ``term_stats_dir``).
-    The previous directory is left in place ON PURPOSE: open searchers
-    hold cached file indexes over it (point-in-time snapshot semantics —
-    an in-place os.replace would break live readers with
-    FileNotFoundException). Compaction's fresh version dir is where old
-    copies get reclaimed."""
+    The previous directory is left in place (open searchers hold cached
+    file indexes over it — an in-place os.replace would break live
+    readers with FileNotFoundException); append_batch expires dirs older
+    than current+previous, so snapshots stay valid for ONE subsequent
+    append (refresh() within that horizon, Iceberg-expiry style) and
+    disk growth is bounded at two dictionary copies."""
     from ..index.build import term_bucket_col
 
     postings = spark.read.parquet(os.path.join(vdir, "postings"))
@@ -223,6 +236,7 @@ def incremental_index(
     checkpoint_dir: str,
     trigger: dict | None = None,
     dedup: bool | int = False,
+    dead_letter_dir: str | None = None,
 ):
     """Structured Streaming driver: any stream of transcript-shaped rows →
     per-micro-batch index append. Exactly-once per epoch: the streaming
@@ -233,19 +247,34 @@ def incremental_index(
     gate (``streaming/operators.streaming_dedup``, full-row passthrough):
     replayed/re-crawled documents are dropped within AND across
     micro-batches before they ever reach the index. Pass an int to set
-    the state bucket count (default 64)."""
+    the state bucket count (default 64).
+
+    Every micro-batch is quarantined before indexing
+    (``sources.readers.split_quarantine``): corrupt-record rows from a
+    PERMISSIVE JSON/CSV stream and rows violating the key invariants
+    (null conv_id/text/role/ts, negative turn_idx) never reach
+    ``append_batch`` — written to ``dead_letter_dir`` (one idempotent
+    ``batch=<epoch>`` directory per epoch) when given, else dropped.
+    Without this a single malformed line would poison-pill its epoch
+    (null doc_ids, tokenizer crash) and wedge the stream."""
+    from ..corpus import TRANSCRIPT_SCHEMA
+
     if dedup:
         from .operators import streaming_dedup
 
         n_buckets = dedup if isinstance(dedup, int) and dedup is not True else 64
-        from ..corpus import TRANSCRIPT_SCHEMA
-
         stream_df = streaming_dedup(stream_df, n_buckets=n_buckets).select(
             *[f.name for f in TRANSCRIPT_SCHEMA.fields]
         )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        append_batch(batch_df.sparkSession, batch_df, index_dir, epoch_id=epoch_id)
+        from ..sources.readers import split_quarantine
+        from ..sources.sinks import write_dead_letter
+
+        good, bad = split_quarantine(batch_df)
+        if dead_letter_dir is not None:
+            write_dead_letter(bad, dead_letter_dir, batch_id=epoch_id)
+        append_batch(good.sparkSession, good, index_dir, epoch_id=epoch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
@@ -280,33 +309,19 @@ def load_tombstones(vdir: str) -> np.ndarray:
     return np.asarray(catalog.read_json(path)["doc_ords"], dtype=np.int64)
 
 
-# Above this many tombstones an IN-literal stops being the right plan:
-# the serialized literal list bloats the plan (and falls off the parquet
-# pushdown path), so the set becomes a broadcast anti-join instead.
-TOMBSTONE_ISIN_MAX = 10_000
+# kept for backward compatibility: the threshold now lives in
+# planlimits.IN_LITERAL_MAX, shared with the query engine's stored-
+# fields point-read so the plan-bloat cutoff cannot silently diverge
+from ..planlimits import IN_LITERAL_MAX as TOMBSTONE_ISIN_MAX  # noqa: E402
 
 
 def mask_tombstones(df: DataFrame, tombstones, threshold: int = TOMBSTONE_ISIN_MAX) -> DataFrame:
-    """Filter tombstoned ``doc_ord`` rows out of a doc-keyed DataFrame.
+    """Filter tombstoned ``doc_ord`` rows out of a doc-keyed DataFrame
+    (pushed IN-literal below the shared threshold, broadcast anti-join
+    above — see ``planlimits.mask_ordinals``)."""
+    from ..planlimits import mask_ordinals
 
-    Small sets inline as an IN-literal — cheap, and the predicate pushes
-    into the parquet scan. Past ``threshold`` (heavy churn, the exact
-    scenario compaction serves) the tombstone set ships as a broadcast
-    DataFrame and the mask is a BroadcastHashJoin LeftAnti: 8 B/ordinal,
-    so a million tombstones is an ~8 MB broadcast instead of a
-    million-element literal serialized into every task's plan."""
-    import pandas as pd
-
-    n = len(tombstones)
-    if n == 0:
-        return df
-    if n <= threshold:
-        return df.filter(~F.col("doc_ord").isin([int(x) for x in tombstones]))
-    spark = df.sparkSession
-    tomb = spark.createDataFrame(
-        pd.DataFrame({"doc_ord": np.asarray(tombstones, dtype=np.int64)})
-    )
-    return df.join(F.broadcast(tomb), "doc_ord", "left_anti")
+    return mask_ordinals(df, tombstones, keep=False, threshold=threshold)
 
 
 def upsert_docs(spark: SparkSession, df: DataFrame, index_dir: str) -> dict:

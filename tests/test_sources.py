@@ -126,3 +126,50 @@ def test_dead_letter_idempotent_per_batch(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1
     assert set(back.columns) == {"raw", "reason", "quarantined_at", "batch"}
+
+
+def test_streaming_json_quarantine_to_dead_letter(spark, tmp_path):
+    """Review finding: a malformed line on a semi-structured stream must
+    not poison-pill its epoch — the sink quarantines it to the dead
+    letter dir and indexes the good rows."""
+    from es_indexer_spark.index.build import build_index
+    from es_indexer_spark.query.engine import IndexSearcher
+    from es_indexer_spark.streaming.incremental import incremental_index
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, synth_transcripts(spark, 5, 4, seed=8), idx,
+                n_buckets=8, n_segments=2)
+    n0 = IndexSearcher(spark, idx).n_docs
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "drop1.jsonl").write_text(
+        GOOD_JSON + "\n"
+        + "{TOTALLY BROKEN\n"
+        + '{"conv_id":null,"turn_idx":1,"role":"user","text":"x","tool":null,'
+          '"ts":"2024-01-01T10:01:00"}\n'
+    )
+    stream = read_stream_transcripts(spark, str(src), format="json")
+    dlq = str(tmp_path / "dlq")
+    q = incremental_index(stream, idx, str(tmp_path / "ck"),
+                          dead_letter_dir=dlq)
+    q.awaitTermination(120)
+
+    assert IndexSearcher(spark, idx).n_docs == n0 + 1  # only the good row
+    bad = spark.read.parquet(dlq)
+    reasons = sorted(r["reason"] for r in bad.collect())
+    assert reasons == ["invalid_key", "parse_error"]
+
+
+def test_dead_letter_modes_share_one_layout(spark, tmp_path):
+    """Epoch and ad-hoc writes to the same DLQ path stay readable as one
+    dataset (uniform batch=<key> hive layout)."""
+    from es_indexer_spark.sources import write_dead_letter
+
+    bad = spark.createDataFrame([("{oops", "parse_error")], "raw string, reason string")
+    out = str(tmp_path / "dlq")
+    write_dead_letter(bad, out, batch_id=3)
+    write_dead_letter(bad, out)  # ad-hoc
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {str(r["batch"]) for r in back.select("batch").collect()} == {"3", "adhoc"}
