@@ -14,27 +14,27 @@ from pyspark.sql import functions as F
 IN_LITERAL_MAX = 10_000
 
 
-def mask_ordinals(
+def drop_ordinals(
     df: DataFrame,
     ordinals,
-    keep: bool,
     threshold: int = IN_LITERAL_MAX,
 ) -> DataFrame:
-    """Filter ``df`` by a driver-side set of ``doc_ord`` values: keep only
-    those (``keep=True``, the point-read) or drop them (``keep=False``,
-    the tombstone mask). Small sets inline as a pushed IN-literal; larger
-    sets become a broadcast (anti-)join — 8 B/ordinal, so even a million
-    ids is an ~8 MB broadcast instead of a million-element literal."""
+    """Drop a driver-side set of ``doc_ord`` values from ``df`` (the
+    tombstone mask). Small sets inline as a pushed NOT-IN literal; larger
+    sets become a broadcast anti-join — 8 B/ordinal, so even a million
+    ids is an ~8 MB broadcast instead of a million-element literal. (The
+    stored-fields point-read shares only the THRESHOLD: its keep-side
+    join already exists as the score join, so no keep variant lives
+    here.)"""
     import pandas as pd
 
     n = len(ordinals)
     if n == 0:
-        return df if not keep else df.filter(F.lit(False))
+        return df
     if n <= threshold:
-        pred = F.col("doc_ord").isin([int(x) for x in ordinals])
-        return df.filter(pred if keep else ~pred)
+        return df.filter(~F.col("doc_ord").isin([int(x) for x in ordinals]))
     spark = df.sparkSession
     ords_df = spark.createDataFrame(
         pd.DataFrame({"doc_ord": np.asarray(ordinals, dtype=np.int64)})
     )
-    return df.join(F.broadcast(ords_df), "doc_ord", "inner" if keep else "left_anti")
+    return df.join(F.broadcast(ords_df), "doc_ord", "left_anti")

@@ -45,7 +45,10 @@ def write_dead_letter(
     overwrite (replays stay idempotent, the incremental sink's
     convention) and ad-hoc writes append under ``batch=adhoc`` — so
     mixing the two modes on one path never produces the 'conflicting
-    directory structures' layout parquet readers refuse to load."""
+    directory structures' layout parquet readers refuse to load.
+    (A DLQ populated by a pre-hive flat layout should get a fresh
+    path — mixing old root-level files with batch= dirs is the same
+    conflict.)"""
     out = bad.withColumn("quarantined_at", F.current_timestamp())
     if batch_id is not None:
         out.write.mode("overwrite").parquet(f"{path}/batch={int(batch_id)}")

@@ -192,10 +192,16 @@ def append_batch(
     # accumulates one full O(vocab) dictionary per micro-batch.
     import shutil
 
-    keep = {ts_dir, prev_ts_dir}
-    for d in os.listdir(vdir):
-        if (d == "term_stats" or d.startswith("term_stats_b")) and d not in keep:
-            shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+    if prev_ts_dir != ts_dir:
+        # prev == ts means THIS bid is being replayed: the manifest already
+        # points at our own dir, so the genuinely-previous dictionary is
+        # unknowable here — expire nothing and let the next clean append
+        # reclaim (deleting on replay would break searchers opened one
+        # append ago, inside the documented retention horizon)
+        keep = {ts_dir, prev_ts_dir}
+        for d in os.listdir(vdir):
+            if (d == "term_stats" or d.startswith("term_stats_b")) and d not in keep:
+                shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
     assert int(stats["n"]) == n_total, "doc_stats count drifted from ordinals"
     return {"appended": m, "n_docs": n_total, "batch": bid}
 
@@ -249,16 +255,40 @@ def incremental_index(
     micro-batches before they ever reach the index. Pass an int to set
     the state bucket count (default 64).
 
-    Every micro-batch is quarantined before indexing
-    (``sources.readers.split_quarantine``): corrupt-record rows from a
-    PERMISSIVE JSON/CSV stream and rows violating the key invariants
-    (null conv_id/text/role/ts, negative turn_idx) never reach
-    ``append_batch`` — written to ``dead_letter_dir`` (one idempotent
-    ``batch=<epoch>`` directory per epoch) when given, else dropped.
-    Without this a single malformed line would poison-pill its epoch
-    (null doc_ids, tokenizer crash) and wedge the stream."""
+    Every micro-batch is quarantined BEFORE the dedup gate
+    (``sources.readers.split_quarantine``, stateless stream filters):
+    corrupt-record rows from a PERMISSIVE JSON/CSV stream and rows
+    violating the key invariants (null conv_id/text/role/ts, negative
+    turn_idx) never reach the dedup state OR ``append_batch`` — running
+    quarantine after dedup would let all corrupt rows collapse onto one
+    null-text fingerprint (first passes misclassified, the rest silently
+    swallowed, and a legitimate empty document dropped as their
+    "duplicate"). With ``dead_letter_dir`` set, the bad side runs as its
+    own exactly-once query (checkpoint ``<checkpoint_dir>/_dlq``, one
+    idempotent ``batch=<epoch>`` directory per non-empty epoch) — the
+    standard two-sink pattern, at the cost of the source being read by
+    both queries; without it bad rows are dropped. Returns the indexing
+    query; the DLQ query (if any) is attached as ``query.dlq_query``."""
     from ..corpus import TRANSCRIPT_SCHEMA
+    from ..sources.readers import split_quarantine
 
+    good_stream, bad_stream = split_quarantine(stream_df)
+    dlq_query = None
+    if dead_letter_dir is not None:
+        from ..sources.sinks import write_dead_letter
+
+        def dlq_sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.isEmpty():  # no empty batch dirs on clean epochs
+                write_dead_letter(batch_df, dead_letter_dir, batch_id=epoch_id)
+
+        dlq_query = (
+            bad_stream.writeStream.foreachBatch(dlq_sink)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, "_dlq"))
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    stream_df = good_stream
     if dedup:
         from .operators import streaming_dedup
 
@@ -268,20 +298,16 @@ def incremental_index(
         )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..sources.readers import split_quarantine
-        from ..sources.sinks import write_dead_letter
-
-        good, bad = split_quarantine(batch_df)
-        if dead_letter_dir is not None:
-            write_dead_letter(bad, dead_letter_dir, batch_id=epoch_id)
-        append_batch(good.sparkSession, good, index_dir, epoch_id=epoch_id)
+        append_batch(batch_df.sparkSession, batch_df, index_dir, epoch_id=epoch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**(trigger or {"availableNow": True}))
     )
-    return writer.start()
+    q = writer.start()
+    q.dlq_query = dlq_query  # None unless dead_letter_dir was given
+    return q
 
 
 # ----------------------------------------------------------------- tombstones
@@ -319,9 +345,9 @@ def mask_tombstones(df: DataFrame, tombstones, threshold: int = TOMBSTONE_ISIN_M
     """Filter tombstoned ``doc_ord`` rows out of a doc-keyed DataFrame
     (pushed IN-literal below the shared threshold, broadcast anti-join
     above — see ``planlimits.mask_ordinals``)."""
-    from ..planlimits import mask_ordinals
+    from ..planlimits import drop_ordinals
 
-    return mask_ordinals(df, tombstones, keep=False, threshold=threshold)
+    return drop_ordinals(df, tombstones, threshold=threshold)
 
 
 def upsert_docs(spark: SparkSession, df: DataFrame, index_dir: str) -> dict:
