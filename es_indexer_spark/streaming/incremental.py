@@ -103,6 +103,24 @@ def append_batch(
         if epoch_id is None
         else EPOCH_BID_BASE + int(epoch_id)
     )
+    # exactly-once under replay-after-commit: foreachBatch can redeliver
+    # an epoch whose sink completed if the STREAM checkpoint commit did
+    # not land. The append checkpoint is written BEFORE the manifest
+    # flip, so "checkpoint exists AND the manifest already covers its
+    # ordinal range" means this epoch fully committed — skip, don't
+    # double-offset ordinals (which would trip the drift assert and
+    # wedge the stream). Any earlier failure point replays normally:
+    # the manifest was not flipped, so n_before is still correct.
+    ck_path = os.path.join(vdir, "checkpoints", f"append_{bid:05d}.json")
+    if epoch_id is not None and os.path.exists(ck_path):
+        ck = catalog.read_json(ck_path)
+        if int(manifest["n_docs"]) >= int(ck["doc_ord_range"][1]):
+            return {
+                "appended": int(ck["appended"]),
+                "n_docs": int(manifest["n_docs"]),
+                "batch": bid,
+                "replayed": True,
+            }
     seg_id = int(manifest["n_segments"]) + bid  # fresh segment label per batch
 
     # ordinals continue densely after the existing corpus, in stable
@@ -171,6 +189,12 @@ def append_batch(
     )
     prev_ts_dir = manifest.get("term_stats_dir", "term_stats")
     ts_dir = _rebuild_term_stats(spark, vdir, n_buckets, bid)
+    # checkpoint BEFORE the manifest flip (see the replay guard above)
+    catalog.write_json(
+        ck_path,
+        {"batch": bid, "epoch_id": epoch_id, "appended": m,
+         "doc_ord_range": [n_before, n_total], "seg": seg_id},
+    )
     manifest.update(
         {
             "term_stats_dir": ts_dir,
@@ -180,11 +204,6 @@ def append_batch(
         }
     )
     catalog.write_json(os.path.join(vdir, "manifest.json"), manifest)
-    catalog.write_json(
-        os.path.join(vdir, "checkpoints", f"append_{bid:05d}.json"),
-        {"batch": bid, "epoch_id": epoch_id, "appended": m,
-         "doc_ord_range": [n_before, n_total], "seg": seg_id},
-    )
     # term_stats retention (Iceberg snapshot-expiry analogue): keep the
     # just-published dictionary AND the previous one — searchers opened
     # before THIS append stay valid; anything older must refresh()

@@ -307,3 +307,34 @@ def test_append_batch_releases_ordinal_cache(spark, tmp_path):
                      epoch_id=epoch)
     after = jsc.getPersistentRDDs().size()
     assert after <= before, f"persisted RDDs grew {before} -> {after} (leak)"
+
+
+def test_term_stats_retention_and_replay_safety(spark, tmp_path):
+    """Appends expire term dictionaries older than current+previous
+    (bounded disk on a long stream), but an epoch REPLAY must expire
+    nothing — the manifest already points at the replayed dir, so the
+    genuinely-previous copy would otherwise be deleted inside the
+    documented retention horizon."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 10), idx, n_buckets=8, n_segments=2)
+    vdir = IndexSearcher(spark, idx).vdir
+
+    def ts_dirs():
+        return sorted(
+            d for d in os.listdir(vdir)
+            if d == "term_stats" or d.startswith("term_stats_b")
+        )
+
+    assert ts_dirs() == ["term_stats"]
+    append_batch(spark, _corpus(spark, 10, 11), idx, epoch_id=0)
+    assert ts_dirs() == ["term_stats", "term_stats_b10000"]  # cur + prev
+    append_batch(spark, _corpus(spark, 11, 12), idx, epoch_id=1)
+    assert ts_dirs() == ["term_stats_b10000", "term_stats_b10001"]
+    # replay of a COMMITTED epoch: detected via its append checkpoint,
+    # returns the recorded result, mutates nothing (exactly-once)
+    r = append_batch(spark, _corpus(spark, 11, 12), idx, epoch_id=1)
+    assert r.get("replayed") and r["appended"] == 4
+    assert ts_dirs() == ["term_stats_b10000", "term_stats_b10001"]
+    s = IndexSearcher(spark, idx)
+    assert s.term_stats_path.endswith("term_stats_b10001")
+    assert s.count(["the"]) >= 0  # dictionary readable post-retention
