@@ -193,10 +193,42 @@ def assign_doc_ordinals(
             .withColumn("_pid", F.spark_partition_id())
         )
     part.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    # the counting pass doubles as a LAYOUT GUARD for the enumeration
+    # below, which decodes monotonically_increasing_id as
+    # (partition_id << 33) | local_counter — a documented-as-current
+    # Spark implementation detail. Verify it per partition in the same
+    # aggregate (mid is deterministic per evaluation over the cached,
+    # order-fixed partitions): the local counter must be dense
+    # (max+1 == count), the upper bits must equal the partition id, and
+    # no partition may overflow the 33-bit counter. A future layout
+    # change or a 2^33-row partition then fails loudly instead of
+    # silently misnumbering doc_ord (review finding).
+    _guard_rows = (
+        part.select("_pid", F.monotonically_increasing_id().alias("_mid"))
+        .groupBy("_pid")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max(F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))).alias("max_lix"),
+            F.max(F.shiftright(F.col("_mid"), 33)).alias("pid_bits"),
+        )
+        .collect()
+    )
+    for r in _guard_rows:
+        if r["cnt"] > (1 << 33):
+            raise RuntimeError(
+                f"partition {r['_pid']} holds {r['cnt']} rows — beyond the "
+                "33-bit per-partition counter of monotonically_increasing_id; "
+                "repartition the input more finely before ordinal assignment"
+            )
+        if r["cnt"] and (r["max_lix"] + 1 != r["cnt"] or r["pid_bits"] != r["_pid"]):
+            raise RuntimeError(
+                "monotonically_increasing_id bit layout changed "
+                f"(partition {r['_pid']}: count={r['cnt']}, "
+                f"max_local={r['max_lix']}, pid_bits={r['pid_bits']}) — "
+                "doc_ord enumeration would be corrupt; update the decode in "
+                "assign_doc_ordinals"
+            )
+    counts = {r["_pid"]: r["cnt"] for r in _guard_rows}
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):

@@ -63,6 +63,18 @@ _POSTING_COLS = [
 _POS_COL = "pos_bytes"  # present only when the index was built with positions
 
 
+class SnapshotExpiredError(RuntimeError):
+    """The searcher's term-dictionary snapshot was expired by later appends.
+
+    Postings/doc_stats snapshots stay valid indefinitely (appends only ADD
+    batch directories), but append_batch retains only the current and
+    previous term-stats dictionary (Iceberg snapshot-expiry style), so a
+    searcher older than one append horizon loses its dictionary files.
+    Without this guard the failure surfaced as a raw FileNotFoundException
+    from a lazily-executed scan (review finding). Call ``refresh()`` (or
+    open a new IndexSearcher) to continue."""
+
+
 def levenshtein_within(q: str, cands: np.ndarray, dmax: int) -> np.ndarray:
     """Vectorized Levenshtein <= dmax for MANY candidates at once: the DP
     advances one query character per iteration with all candidates and all
@@ -222,6 +234,7 @@ class IndexSearcher:
 
     def term_dictionary(self) -> pd.DataFrame:
         if self._term_dict is None:
+            self._check_dictionary_snapshot()
             self._term_dict = (
                 pads.dataset(self.term_stats_path, format="parquet")
                 .to_table(columns=["term", "df", "total_tf"])
@@ -907,7 +920,20 @@ class IndexSearcher:
         return self.search_df(terms, k, mode="and", phrase_terms=terms)
 
     # ---------------------------------------- distributed dictionary expansion
+    def _check_dictionary_snapshot(self) -> None:
+        """Raise SnapshotExpiredError (not a lazy FileNotFoundException)
+        when this searcher's term-stats directory was expired by the
+        current+previous retention of later appends. Cheap local-stat;
+        resident caches (term_dictionary already loaded) keep working."""
+        if not os.path.isdir(self.term_stats_path):
+            raise SnapshotExpiredError(
+                f"term-stats snapshot {self.term_stats_path} was expired by "
+                "later appends (retention keeps the current + previous "
+                "dictionary). Call refresh() or open a new IndexSearcher."
+            )
+
     def _term_stats_sdf(self) -> DataFrame:
+        self._check_dictionary_snapshot()
         return self._term_stats_src
 
     def expand_prefix_df(self, prefix: str, max_expansions: int = 50) -> list[str]:

@@ -68,13 +68,22 @@ def append_batch(
     df: DataFrame,
     index_dir: str,
     epoch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """Append a batch of NEW transcript turns to the current index version.
 
     Idempotent per epoch: the batch directory is derived from ``epoch_id``
     when given (streaming replays overwrite, never duplicate — the Spark
     analogue of the reference's retry-until-success upsert,
-    ``IndexServiceImpl.java:167-221``)."""
+    ``IndexServiceImpl.java:167-221``). ``stream_id`` identifies WHICH
+    stream the epoch belongs to (``incremental_index`` passes its
+    checkpoint location): epoch ids are unique only per streaming-
+    checkpoint lifetime, so a new stream (fresh checkpoint dir, or a
+    second pipeline) reuses epoch 0,1,… — without the id, its first
+    micro-batches would match a previous stream's committed append
+    checkpoints and be silently dropped as replays (data loss). A
+    mismatched stream_id on an existing epoch checkpoint fails loudly
+    instead."""
     from pyspark.sql import types as T
 
     from ..analysis import doc_lengths, suggest_tokens_series
@@ -114,6 +123,19 @@ def append_batch(
     ck_path = os.path.join(vdir, "checkpoints", f"append_{bid:05d}.json")
     if epoch_id is not None and os.path.exists(ck_path):
         ck = catalog.read_json(ck_path)
+        if ck.get("stream_id") != stream_id:
+            # same epoch number, DIFFERENT stream: this is a new pipeline
+            # whose epochs restart at 0 against an index another stream
+            # already fed. Skipping here would silently drop its first
+            # micro-batches as "replays" (review finding) — refuse loudly.
+            raise RuntimeError(
+                f"epoch {epoch_id} of stream {stream_id!r} collides with a "
+                f"committed append from stream {ck.get('stream_id')!r} "
+                f"({ck_path}). Epoch ids are only unique per streaming "
+                "checkpoint: resume the original checkpointLocation, or "
+                "compact the index (rebuild_compacted) before attaching a "
+                "new stream."
+            )
         if int(manifest["n_docs"]) >= int(ck["doc_ord_range"][1]):
             return {
                 "appended": int(ck["appended"]),
@@ -192,8 +214,8 @@ def append_batch(
     # checkpoint BEFORE the manifest flip (see the replay guard above)
     catalog.write_json(
         ck_path,
-        {"batch": bid, "epoch_id": epoch_id, "appended": m,
-         "doc_ord_range": [n_before, n_total], "seg": seg_id},
+        {"batch": bid, "epoch_id": epoch_id, "stream_id": stream_id,
+         "appended": m, "doc_ord_range": [n_before, n_total], "seg": seg_id},
     )
     manifest.update(
         {
@@ -316,8 +338,14 @@ def incremental_index(
             *[f.name for f in TRANSCRIPT_SCHEMA.fields]
         )
 
+    # the checkpoint location IS the stream's identity: epoch numbering is
+    # scoped to it, so append_batch's replay-skip must never fire for an
+    # epoch another checkpoint committed (review finding)
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        append_batch(batch_df.sparkSession, batch_df, index_dir, epoch_id=epoch_id)
+        append_batch(batch_df.sparkSession, batch_df, index_dir,
+                     epoch_id=epoch_id, stream_id=stream_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

@@ -53,6 +53,15 @@ def windowed_turn_counts(
     )
 
 
+def _md5_half_to_long(col: str, start: int):
+    """One 64-bit half of an md5 hex digest as a signed int64, entirely
+    JVM-side: 16 hex chars → unsigned decimal string (``conv``) →
+    decimal(20,0) → shift by 2^63 → long. Exact for the full unsigned
+    range (a direct long cast would overflow above 2^63)."""
+    u = F.conv(F.substring(F.col(col), start, 16), 16, 10).cast("decimal(20,0)")
+    return (u - F.lit("9223372036854775808").cast("decimal(20,0)")).cast("long")
+
+
 # full transcript rows pass through, so the dedup gate composes
 # directly with the incremental index sink (firehose -> dedup ->
 # append_batch) — no join-back needed to recover the document
@@ -68,16 +77,28 @@ _DEDUP_OUT = T.StructType(
     ]
 )
 _DEDUP_PASS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "fingerprint"]
-# state = SORTED int64 fingerprints (8 B each vs ~32 B md5 strings): 10^9
-# total docs over 64 buckets is ~125 MB/bucket — and at that scale the same
-# operator runs against the RocksDB state store
+# 10^9 total docs over 64 buckets is ~250 MB/bucket — and at that scale
+# the same operator runs against the RocksDB state store
 # (spark.sql.streaming.stateStore.providerClass=
 #  ...RocksDBStateStoreProvider) so state lives on executor disk, not heap;
 # the plumbing is identical either way — TESTED on both providers
 # (tests/test_streaming_operators.py::test_streaming_dedup_on_rocksdb_state_store
 # asserts the same dedup semantics AND that the checkpoint carries RocksDB
 # artifacts, so the claim is exercised, not noted).
-_DEDUP_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
+# state = the FULL 128-bit md5 as two aligned int64 arrays, lexsorted by
+# (hi, lo): 16 B/doc. A 64-bit-only probe has a few-percent corpus-wide
+# collision chance at the docstring's 10^9-doc scale (birthday bound),
+# and each collision silently drops a distinct document forever — the
+# full fingerprint makes a false drop ~n^2/2^129, i.e. never (review
+# finding). Membership is two vectorized searchsorted passes on the hi
+# half; equal-hi runs longer than one (true 64-bit collisions between
+# distinct docs) fall to a loop that is empty in practice.
+_DEDUP_STATE = T.StructType(
+    [
+        T.StructField("seen_hi", T.ArrayType(T.LongType())),
+        T.StructField("seen_lo", T.ArrayType(T.LongType())),
+    ]
+)
 
 
 def _dedup_group(key, pdfs, state: GroupState, ttl_ms: int | None = None):
@@ -90,20 +111,34 @@ def _dedup_group(key, pdfs, state: GroupState, ttl_ms: int | None = None):
         state.remove()
         yield pd.DataFrame({c.name: [] for c in _DEDUP_OUT})
         return
-    seen = (
-        np.asarray(state.get[0], dtype=np.int64)
-        if state.exists
-        else np.zeros(0, np.int64)
-    )
+    if state.exists:
+        seen_hi = np.asarray(state.get[0], dtype=np.int64)
+        seen_lo = np.asarray(state.get[1], dtype=np.int64)
+    else:
+        seen_hi = np.zeros(0, np.int64)
+        seen_lo = np.zeros(0, np.int64)
     out = []
     for pdf in pdfs:
-        fp64 = pdf["fp64"].to_numpy(np.int64)
-        fresh = ~np.isin(fp64, seen) & ~pdf["fp64"].duplicated().to_numpy()
+        hi = pdf["fp_hi"].to_numpy(np.int64)
+        lo = pdf["fp_lo"].to_numpy(np.int64)
+        # membership of (hi, lo) in the lexsorted state: locate each hi's
+        # run, confirm lo inside it (run length 1 is the universal case)
+        pl = np.searchsorted(seen_hi, hi, "left")
+        pr = np.searchsorted(seen_hi, hi, "right")
+        member = np.zeros(len(hi), bool)
+        single = pr - pl == 1
+        member[single] = seen_lo[pl[single]] == lo[single]
+        for i in np.nonzero(pr - pl > 1)[0]:  # hi-collision runs: ~never
+            member[i] = bool((seen_lo[pl[i]:pr[i]] == lo[i]).any())
+        fresh = ~member & ~pdf.duplicated(subset=["fp_hi", "fp_lo"]).to_numpy()
         kept = pdf.loc[fresh].rename(columns={"_ts": "ts"})
         out.append(kept[_DEDUP_PASS])
         if fresh.any():
-            seen = np.union1d(seen, fp64[fresh])  # stays sorted + deduped
-    state.update((seen.tolist(),))
+            seen_hi = np.concatenate([seen_hi, hi[fresh]])
+            seen_lo = np.concatenate([seen_lo, lo[fresh]])
+            order = np.lexsort((seen_lo, seen_hi))  # hi primary, lo secondary
+            seen_hi, seen_lo = seen_hi[order], seen_lo[order]
+    state.update((seen_hi.tolist(), seen_lo.tolist()))
     if ttl_ms is not None:
         # expire the bucket once the watermark is ttl past the last batch
         # that touched it — this is what bounds state on an endless stream
@@ -132,8 +167,11 @@ def streaming_dedup(
     AND across micro-batches (state persists in the streaming checkpoint,
     so replays stay exactly-once).
 
-    State is a SORTED int64 array per bucket (xxhash64 of the normalized
-    token stream — 8 bytes/doc; membership = one vectorized ``np.isin``).
+    State is the full 128-bit md5 per doc — two aligned, lexsorted int64
+    arrays per bucket (16 bytes/doc; membership = two vectorized
+    ``searchsorted`` passes). The md5 IS the dedup key: a 64-bit probe
+    alone would falsely drop distinct docs with a few-percent corpus-wide
+    probability at 10^9 docs.
     ``ttl`` (e.g. ``"30 minutes"``) arms an event-time timeout: buckets
     whose horizon the watermark passes are dropped wholesale, so state is
     bounded by the dedup window instead of the stream's lifetime — without
@@ -143,12 +181,16 @@ def streaming_dedup(
         F.lower(F.col("text")), F.lit(r"[\p{L}\p{N}]+"), 0
     )
     norm = F.concat_ws(" ", toks)
-    fp = stream_df.select(
-        "conv_id", "turn_idx", "role", "text", "tool",
-        F.col(ts_col).alias("_ts"),
-        F.md5(norm).alias("fingerprint"),
-        F.xxhash64(norm).alias("fp64"),
-    ).withColumn("bucket", term_bucket_col(n_buckets, "fingerprint"))
+    fp = (
+        stream_df.select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.col(ts_col).alias("_ts"),
+            F.md5(norm).alias("fingerprint"),
+        )
+        .withColumn("fp_hi", _md5_half_to_long("fingerprint", 1))
+        .withColumn("fp_lo", _md5_half_to_long("fingerprint", 17))
+        .withColumn("bucket", term_bucket_col(n_buckets, "fingerprint"))
+    )
     if ttl is not None:
         fp = fp.withWatermark("_ts", ttl)
         ttl_ms = _duration_ms(ttl)

@@ -294,6 +294,36 @@ def test_manual_and_epoch_batch_ids_never_collide(spark, tmp_path):
         assert os.path.isdir(os.path.join(vdir, "postings", f"batch={b}"))
 
 
+def test_new_stream_epoch_collision_fails_loudly_not_silently(spark, tmp_path):
+    """Review finding: epoch ids are unique only per streaming checkpoint.
+    A NEW stream (fresh checkpointLocation) appending to an index a
+    previous stream already fed restarts at epoch 0 — its first
+    micro-batch must NOT be swallowed as a replay of the old stream's
+    committed epoch 0; it must raise. The SAME stream replaying its own
+    committed epoch still short-circuits idempotently."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 10), idx, n_buckets=8, n_segments=2)
+    r0 = append_batch(spark, _corpus(spark, 10, 12), idx,
+                      epoch_id=0, stream_id="/ck/stream-A")
+    assert not r0.get("replayed")
+    # same stream, same epoch → idempotent replay skip (exactly-once)
+    r_replay = append_batch(spark, _corpus(spark, 10, 12), idx,
+                            epoch_id=0, stream_id="/ck/stream-A")
+    assert r_replay.get("replayed") and r_replay["appended"] == r0["appended"]
+    # DIFFERENT stream, same epoch → loud failure, never a silent drop
+    with pytest.raises(RuntimeError, match="collides with a committed append"):
+        append_batch(spark, _corpus(spark, 12, 14), idx,
+                     epoch_id=0, stream_id="/ck/stream-B")
+    # no stream id at all (manual caller) vs a stream's committed epoch:
+    # identity unknown → also loud
+    with pytest.raises(RuntimeError, match="collides"):
+        append_batch(spark, _corpus(spark, 12, 14), idx, epoch_id=0)
+    s = IndexSearcher(spark, idx)
+    assert s.n_docs == 12 * 4  # stream B's batch never half-landed
+
+
 def test_append_batch_releases_ordinal_cache(spark, tmp_path):
     """Review finding: the persisted ordinal-assignment cache leaked every
     micro-batch because the DataFrame was rebound before the handle was
@@ -338,3 +368,33 @@ def test_term_stats_retention_and_replay_safety(spark, tmp_path):
     s = IndexSearcher(spark, idx)
     assert s.term_stats_path.endswith("term_stats_b10001")
     assert s.count(["the"]) >= 0  # dictionary readable post-retention
+
+
+def test_expired_dictionary_snapshot_raises_clear_error(spark, tmp_path):
+    """Review finding: a searcher older than one append horizon used to
+    get a raw FileNotFoundException from the lazily-executed term-stats
+    scan after retention rmtree'd its dictionary dir. It must raise
+    SnapshotExpiredError with a refresh() hint instead — and refresh()
+    must actually recover."""
+    import pytest
+
+    from es_indexer_spark.query.engine import SnapshotExpiredError
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 10), idx, n_buckets=8, n_segments=2)
+    old = IndexSearcher(spark, idx)
+    assert old.expand_prefix_df("turn") is not None  # dictionary alive
+    # two appends push the open searcher's dictionary out of retention
+    append_batch(spark, _corpus(spark, 10, 11), idx, epoch_id=0)
+    append_batch(spark, _corpus(spark, 11, 12), idx, epoch_id=1)
+    assert not os.path.isdir(old.term_stats_path)
+    with pytest.raises(SnapshotExpiredError, match="refresh"):
+        old.expand_fuzzy_df("turn")
+    with pytest.raises(SnapshotExpiredError):
+        old.expand_prefix_df("tu")
+    with pytest.raises(SnapshotExpiredError):
+        old.term_dictionary()
+    fresh = old.refresh()
+    assert fresh.expand_prefix_df("tu") is not None
+    assert fresh.n_docs == 12 * 4
+    fresh.close()

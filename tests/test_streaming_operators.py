@@ -143,12 +143,17 @@ def _dedup_pdf(texts, start=0):
 
     import hashlib
 
-    def fp64(t):
-        norm = " ".join(t.lower().split())
-        # any deterministic int64 works for the unit test
-        return int.from_bytes(hashlib.md5(norm.encode()).digest()[:8], "big", signed=True)
+    def halves(t):
+        # the production columns are the two signed-int64 halves of the
+        # md5 over the normalized token stream
+        h = hashlib.md5(" ".join(t.lower().split()).encode()).digest()
+        return (
+            int.from_bytes(h[:8], "big", signed=True),
+            int.from_bytes(h[8:], "big", signed=True),
+        )
 
     n = len(texts)
+    hs = [halves(t) for t in texts]
     return pd.DataFrame(
         {
             "conv_id": [f"c{start + i}" for i in range(n)],
@@ -158,7 +163,8 @@ def _dedup_pdf(texts, start=0):
             "tool": [None] * n,
             "_ts": pd.to_datetime(["2024-01-01"] * n),
             "fingerprint": [t for t in texts],
-            "fp64": [fp64(t) for t in texts],
+            "fp_hi": [h for h, _ in hs],
+            "fp_lo": [lo for _, lo in hs],
         }
     )
 
@@ -175,9 +181,10 @@ def test_dedup_state_is_int64_and_plateaus():
     texts = [f"doc number {i}" for i in range(50)]
     out1 = list(_dedup_group(("k",), iter([_dedup_pdf(texts)]), st))[0]
     assert len(out1) == 50
-    seen = np.asarray(st.get[0])
-    assert seen.dtype.kind == "i" and len(seen) == 50
-    assert (np.sort(seen) == seen).all()  # sorted → np.isin/searchsorted fast path
+    hi, lo = np.asarray(st.get[0]), np.asarray(st.get[1])
+    assert hi.dtype.kind == "i" and len(hi) == 50 == len(lo)  # full 128-bit state
+    # lexsorted by (hi, lo) → the searchsorted membership fast path
+    assert (np.lexsort((lo, hi)) == np.arange(50)).all()
 
     # replay the SAME docs 3 more times: zero new emissions, zero state growth
     for rep in range(3):
@@ -188,6 +195,28 @@ def test_dedup_state_is_int64_and_plateaus():
     # genuinely new docs still grow it by exactly the new-distinct count
     out = list(_dedup_group(("k",), iter([_dedup_pdf(["brand new doc"])]), st))[0]
     assert len(out) == 1 and len(st.get[0]) == 51
+
+
+def test_dedup_64bit_hash_collision_does_not_drop_distinct_doc():
+    """Two DISTINCT documents whose fingerprints collide on the upper 64
+    bits must BOTH pass (the round-4 advice finding: a 64-bit-only probe
+    silently drops one forever); a true 128-bit duplicate is still
+    dropped."""
+    from es_indexer_spark.streaming.operators import _dedup_group
+
+    st = _FakeState()
+    a = _dedup_pdf(["doc alpha"])
+    b = _dedup_pdf(["doc beta"], start=10)
+    b["fp_hi"] = a["fp_hi"]  # forced hi-collision, lo differs
+    assert int(b["fp_lo"][0]) != int(a["fp_lo"][0])
+    out = list(_dedup_group(("k",), iter([a]), st))[0]
+    assert len(out) == 1
+    out = list(_dedup_group(("k",), iter([b]), st))[0]
+    assert len(out) == 1  # distinct doc survives the hi-collision
+    assert len(st.get[0]) == 2
+    # exact 128-bit replay of either doc is still a duplicate
+    out = list(_dedup_group(("k",), iter([b.copy()]), st))[0]
+    assert len(out) == 0 and len(st.get[0]) == 2
 
 
 def test_dedup_ttl_timeout_drops_state_and_rearms():
