@@ -288,13 +288,12 @@ def _churn_searcher(spark: SparkSession, sf_dir: str) -> "object":
             idx_dir,
         )
         # delete AFTER upsert: overlapping ids (%7==0 and %13==3) end dead,
-        # matching the oracle's plain %7 filter. The id list is bounded by
-        # the churn batch (the reference's delete surface), not the corpus.
-        del_ids = [
-            f"{r['conv_id']}:0"
-            for r in tx.filter(key_num % 7 == 0).select("conv_id").collect()
-        ]
-        inc.delete_docs(spark, idx_dir, del_ids)
+        # matching the oracle's plain %7 filter. DataFrame-predicate bulk
+        # delete: the matched ordinals are written executor-side as a
+        # parquet tombstone delta — no id list ever routes through the
+        # driver (delete_docs remains the reference's bounded
+        # single/small-batch surface).
+        inc.delete_where(spark, idx_dir, key_num % 7 == 0)
         inc.rebuild_compacted(spark, idx_dir)
         _INDEX_CACHE[key] = idx_dir
         _SEARCHER_CACHE.pop(key, None)

@@ -41,8 +41,10 @@ Dataflow (all DataFrame ops; Python only in Arrow-vectorized kernels):
    + ``beginWithUuid`` resume marker analogue
    (``IndexerMetadataServiceImpl.java:478-523``). Resume skips completed
    batches.
-8. ``term_stats`` (term → df, total_tf, n_chunks) sorted by term — the
-   term dictionary (prefix scans = parquet row-group range pruning).
+8. ``term_stats`` (term → df, total_tf, n_chunks) hive-partitioned by
+   capped term length, term-sorted within — the term dictionary (fuzzy
+   length bands = partition pruning, prefix scans = parquet row-group
+   range pruning).
 9. validation gate (indexed count == source count; stricter than the
    reference's >=90 % at ``IndexerMetadataServiceImpl.java:651-655``) then
    atomic CURRENT swap (``catalog.publish_version``).
@@ -105,6 +107,28 @@ def term_bucket_col(n_buckets: int, term_col: str = "term"):
     assignment stays whole-stage-codegen'd instead of a per-row Python UDF
     over the whole term dictionary."""
     return (F.crc32(F.encode(F.col(term_col), "UTF-8")) % n_buckets).cast("int")
+
+
+# term_stats is hive-partitioned by capped term length: fuzzy-AUTO
+# expansion (|len(term) - len(q)| <= d) becomes a PARTITION filter —
+# Catalyst never lists, opens or scans dictionary files outside the
+# length band, the columnar analogue of Lucene's FST automaton walk
+# pruning the TermsEnum (IndexerServiceIT.java:219-238 exercises
+# fuzziness AUTO). Prefix expansion gains tlen >= len(prefix) for free.
+# The cap bounds directory fan-out; terms at the cap share one partition
+# and fall through to the exact length+levenshtein filters.
+TLEN_CAP = 32
+
+
+def term_len_col(term_col: str = "term"):
+    return F.least(F.length(term_col), F.lit(TLEN_CAP)).cast("int")
+
+
+def term_len_band(qlen: int, d: int) -> tuple[int, int]:
+    """Inclusive tlen partition bounds for edit distance ``d`` around a
+    query of length ``qlen`` (capped — at the cap the band is a superset
+    and the exact filters decide)."""
+    return max(0, min(qlen - d, TLEN_CAP)), min(qlen + d, TLEN_CAP)
 
 
 def _encode_positions_flat(
@@ -591,9 +615,11 @@ def build_index(
                 F.max(F.array_max("block_max_tf")).alias("max_tf"),
             )
             .withColumn("tbucket", term_bucket_col(n_buckets))
-            .repartitionByRange(max(1, n_buckets // 16), "term")
-            .sortWithinPartitions("term")
+            .withColumn("tlen", term_len_col())
+            .repartitionByRange(max(1, n_buckets // 16), "tlen", "term")
+            .sortWithinPartitions("tlen", "term")
             .write.mode("overwrite")
+            .partitionBy("tlen")
             .parquet(term_stats_path)
         )
         import pyarrow.dataset as _pads

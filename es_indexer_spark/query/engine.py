@@ -533,9 +533,14 @@ class IndexSearcher:
                 sub = td[td["term"].isin(missing)]
                 got.update(dict(zip(sub["term"], sub["df"].astype(int))))
             else:
+                from ..index.build import TLEN_CAP
+
+                td = self._term_stats_sdf()
+                if "tlen" in td.columns:  # partition-prune to query lengths
+                    lens = sorted({min(len(t), TLEN_CAP) for t in missing})
+                    td = td.filter(F.col("tlen").isin(lens))
                 rows = (
-                    self._term_stats_sdf()
-                    .filter(F.col("term").isin(missing))
+                    td.filter(F.col("term").isin(missing))
                     .select("term", "df")
                     .collect()
                 )
@@ -936,14 +941,27 @@ class IndexSearcher:
         self._check_dictionary_snapshot()
         return self._term_stats_src
 
+    def _tlen_prune(self, td: DataFrame, lo: int, hi: int) -> DataFrame:
+        """Partition-prune the dictionary scan to length buckets [lo, hi]
+        (term_stats is hive-partitioned by capped term length — build.py
+        ``term_len_col``). No-op on a pre-tlen index layout."""
+        if "tlen" not in td.columns:
+            return td
+        return td.filter((F.col("tlen") >= lo) & (F.col("tlen") <= hi))
+
     def expand_prefix_df(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """Prefix expansion as a pruned Spark filter over the term-sorted
         term_stats parquet (StringStartsWith pushes to the scan; row groups
-        outside the prefix range never load). Highest-df first, term-order
+        outside the prefix range never load, and length partitions shorter
+        than the prefix are never listed). Highest-df first, term-order
         tie-break — identical selection to the driver ``expand_prefix``."""
+        from ..index.build import TLEN_CAP
+
+        td = self._tlen_prune(
+            self._term_stats_sdf(), min(len(prefix), TLEN_CAP), TLEN_CAP
+        )
         rows = (
-            self._term_stats_sdf()
-            .filter(F.col("term").startswith(prefix))
+            td.filter(F.col("term").startswith(prefix))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions)
             .select("term")
@@ -954,18 +972,19 @@ class IndexSearcher:
     def expand_fuzzy_df(
         self, term: str, max_edits: int | None = None, max_expansions: int = 50
     ) -> list[str]:
-        """AUTO-fuzziness expansion as a Spark filter (F.length band +
-        F.levenshtein bound, both JVM-side) over term_stats.
+        """AUTO-fuzziness expansion over term_stats: the tlen PARTITION
+        filter (``|len(t) - len(q)| <= d`` is a necessary edit-distance
+        condition) prunes the scan to ~(2d+1) length directories before a
+        file is opened — the columnar analogue of Lucene's Levenshtein-
+        automaton FST walk bounding the TermsEnum — then the exact
+        F.length band + F.levenshtein bound (both JVM-side) decide.
+        tests/test_plan_guards.py asserts the pruned scan reads a strict
+        subset of the dictionary's files."""
+        from ..index.build import term_len_band
 
-        Known trade-off vs Lucene's Levenshtein-automaton FST walk: this
-        is a parallel scan of the term dictionary per fuzzy query (the
-        length band cannot prune parquet row groups). The dictionary is
-        O(distinct terms) — 10^7-10^8 rows even at 10^12 turns (Heaps'
-        law), i.e. ~10^-4 of the corpus — so the scan is a sub-second
-        columnar job, paid only by fuzzy queries; an FST sidecar would
-        be the upgrade path if fuzzy traffic ever dominated."""
         d = auto_fuzziness(term) if max_edits is None else max_edits
-        td = self._term_stats_sdf()
+        lo, hi = term_len_band(len(term), d)
+        td = self._tlen_prune(self._term_stats_sdf(), lo, hi)
         if d == 0:
             rows = td.filter(F.col("term") == term).limit(1).collect()
             return [term] if rows else []

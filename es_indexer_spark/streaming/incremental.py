@@ -256,7 +256,7 @@ def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int, bid: int
     than current+previous, so snapshots stay valid for ONE subsequent
     append (refresh() within that horizon, Iceberg-expiry style) and
     disk growth is bounded at two dictionary copies."""
-    from ..index.build import term_bucket_col
+    from ..index.build import term_bucket_col, term_len_col
 
     postings = spark.read.parquet(os.path.join(vdir, "postings"))
     name = f"term_stats_b{bid:05d}"
@@ -269,9 +269,11 @@ def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int, bid: int
             F.max(F.array_max("block_max_tf")).alias("max_tf"),
         )
         .withColumn("tbucket", term_bucket_col(n_buckets))
-        .repartitionByRange(max(1, n_buckets // 16), "term")
-        .sortWithinPartitions("term")
+        .withColumn("tlen", term_len_col())
+        .repartitionByRange(max(1, n_buckets // 16), "tlen", "term")
+        .sortWithinPartitions("tlen", "term")
         .write.mode("overwrite")
+        .partitionBy("tlen")
         .parquet(os.path.join(vdir, name))
     )
     return name
@@ -375,11 +377,62 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[str]) -> int:
     return len(ords)
 
 
+def delete_where(spark: SparkSession, index_dir: str, predicate) -> int:
+    """S10 bulk delete by DataFrame predicate: tombstone every doc whose
+    doc_stats row matches ``predicate`` (a Column, or a SQL string passed
+    through ``F.expr``) — e.g. ``F.col("conv_id").cast("long") % 7 == 0``
+    or ``"role = 'tool' AND ts < timestamp'2023-01-01'"``.
+
+    Unlike ``delete_docs`` (the reference's single/small-batch delete
+    surface, which takes a Python id list), no ids ever route through the
+    driver: the matched ordinals are written executor-side as a parquet
+    tombstone delta (``tombstones_pq/batch=N``), so a delete matching an
+    O(corpus) slice is one pushed filter + one column write. Query paths
+    read the union of JSON and parquet tombstones (``load_tombstones``);
+    compaction (``rebuild_compacted``) clears both."""
+    vdir = catalog.current_version_dir(index_dir)
+    if vdir is None:
+        raise FileNotFoundError(f"no published index in {index_dir}")
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    root = os.path.join(vdir, "tombstones_pq")
+    nxt = 0
+    if os.path.isdir(root):
+        ids = [int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")]
+        nxt = max(ids) + 1 if ids else 0
+    matched = (
+        spark.read.parquet(os.path.join(vdir, "doc_stats"))
+        .filter(cond)
+        .select("doc_ord")
+    )
+    out = os.path.join(root, f"batch={nxt}")
+    matched.write.mode("overwrite").parquet(out)
+    # count from the written files' parquet metadata — no row collect
+    import pyarrow.dataset as pads
+
+    return int(pads.dataset(out, format="parquet").count_rows())
+
+
 def load_tombstones(vdir: str) -> np.ndarray:
+    """Union of the JSON tombstones (id-list deletes) and the parquet
+    tombstone deltas (predicate deletes), sorted + deduped. Driver cost is
+    O(deleted docs) — the same asymptotics as Lucene's liveDocs bitset."""
+    parts = []
     path = os.path.join(vdir, "tombstones.json")
-    if not os.path.exists(path):
+    if os.path.exists(path):
+        parts.append(np.asarray(catalog.read_json(path)["doc_ords"], dtype=np.int64))
+    pq = os.path.join(vdir, "tombstones_pq")
+    if os.path.isdir(pq):
+        import pyarrow.dataset as pads
+
+        parts.append(
+            pads.dataset(pq, format="parquet")
+            .to_table(columns=["doc_ord"])["doc_ord"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+    if not parts:
         return np.zeros(0, dtype=np.int64)
-    return np.asarray(catalog.read_json(path)["doc_ords"], dtype=np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 # kept for backward compatibility: the threshold now lives in

@@ -398,3 +398,45 @@ def test_expired_dictionary_snapshot_raises_clear_error(spark, tmp_path):
     assert fresh.expand_prefix_df("tu") is not None
     assert fresh.n_docs == 12 * 4
     fresh.close()
+
+
+def test_delete_where_bulk_predicate_no_driver_ids(spark, tmp_path):
+    """S10 bulk variant: delete by DataFrame predicate writes matched
+    ordinals as a parquet tombstone delta executor-side (no id list
+    through the driver), masks exactly like id-list deletes, composes
+    with them, and compaction clears both stores."""
+    from es_indexer_spark.streaming.incremental import (
+        delete_where,
+        load_tombstones,
+        rebuild_compacted,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 30), idx, n_buckets=8, n_segments=2)
+    s0 = IndexSearcher(spark, idx)
+    vdir = s0.vdir
+
+    key = F.col("conv_id").substr(5, 8).cast("long")
+    n = delete_where(spark, idx, (key % 3 == 0) & (F.col("turn_idx") < 2))
+    assert n == 10 * 2  # 10 of 30 convs, 2 of 4 turns each
+    assert os.path.isdir(os.path.join(vdir, "tombstones_pq", "batch=0"))
+    assert not os.path.exists(os.path.join(vdir, "tombstones.json"))
+
+    s1 = IndexSearcher(spark, idx)
+    assert len(s1.tombstones) == 20
+    got = s1.scan_after(page_size=10_000).toPandas()
+    assert len(got) == 30 * 4 - 20
+    dead = got[(got["conv_id"].str[4:].astype(int) % 3 == 0) & (got["turn_idx"] < 2)]
+    assert len(dead) == 0
+
+    # SQL-string predicate + composition with an id-list delete
+    assert delete_where(spark, idx, "turn_idx = 3 AND conv_id = 'conv00000001'") == 1
+    assert delete_docs(spark, idx, ["conv00000002:3"]) == 1
+    tombs = load_tombstones(vdir)
+    assert len(tombs) == 22 and (tombs == sorted(tombs)).all()
+
+    # compaction clears both tombstone stores
+    rebuild_compacted(spark, idx)
+    s2 = IndexSearcher(spark, idx)
+    assert len(s2.tombstones) == 0
+    assert s2.n_docs == 30 * 4 - 22
