@@ -272,6 +272,54 @@ def main() -> None:
 
         shutil.rmtree(big_dir, ignore_errors=True)  # hundreds of MB/run
 
+        # ---- 6. huge suite: 10M turns ------------------------------------
+        # One order of magnitude past section 5: shows distributed-query
+        # warm latency growing sublinearly in corpus size (the per-segment
+        # kernels dominate, scheduling amortizes) and records the packed
+        # doc-side norms' executor-memory footprint (the only per-corpus
+        # resident state on the serving path, ~8 B/doc design target).
+        # SPARK_GRAFT_HUGE_CONVS=0 disables.
+        huge_convs = int(os.environ.get("SPARK_GRAFT_HUGE_CONVS", "1000000"))
+        if huge_convs > 0:
+            searcher.close()  # release earlier doc-side caches so the
+            sayt.close()      # storage-info readout below is huge-only
+            huge_dir = tempfile.mkdtemp(prefix="bench_huge_")
+            huge = synth_transcripts(
+                spark, n_convs=huge_convs, turns_per_conv=10, seed=42
+            )
+            t0 = time.time()
+            res_huge = build_index(spark, huge, huge_dir, n_buckets=64,
+                                   input_sorted=True)
+            queries["huge_index_build"] = round(time.time() - t0, 3)
+            out["huge_n_turns"] = res_huge.n_docs
+            out["huge_turns_per_sec"] = round(
+                res_huge.n_docs / queries["huge_index_build"], 1
+            )
+            shuge = IndexSearcher(spark, huge_dir)
+            t0 = time.time()
+            shuge.search_df([str(v[0])], k=10).collect()  # cold: doc-side cache
+            queries["q_huge_distributed_cold"] = round(time.time() - t0, 3)
+            huge_lats = []
+            for qname, terms, mode in big_queries:
+                lats = []
+                for _ in range(5):
+                    t0 = time.time()
+                    shuge.search_df(terms, k=10, mode=mode).collect()
+                    lats.append(time.time() - t0)
+                queries[f"q_huge_{qname}"] = round(float(np.median(lats)), 3)
+                huge_lats.extend(lats)
+            out["huge_query_p50_ms"] = round(float(np.percentile(huge_lats, 50)) * 1000, 1)
+            out["huge_query_p95_ms"] = round(float(np.percentile(huge_lats, 95)) * 1000, 1)
+            # persisted packed-norms footprint straight from the block
+            # manager (covers every executor in local mode)
+            mem = 0
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+                mem += int(info.memSize()) + int(info.diskSize())
+            out["huge_norms_mem_mb"] = round(mem / 1e6, 1)
+            out["huge_norms_bytes_per_doc"] = round(mem / max(1, res_huge.n_docs), 2)
+            shuge.close()
+            shutil.rmtree(huge_dir, ignore_errors=True)
+
     out.update(
         {
             "metric": "index_build_plus_query_suite_wall",

@@ -26,11 +26,12 @@ def _q_lit(query_vec) -> F.Column:
     return F.array(*[F.lit(float(v)) for v in query_vec])
 
 
-def cosine_topk_sql(
-    df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+def exact_cosines(
+    df: DataFrame, query_vec, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Exact cosine top-k as pure column expressions (zip_with + aggregate,
-    JVM-side). Deterministic tie-break (cosine desc, id asc)."""
+    """Exact (id, cosine-vs-query) for EVERY vector, as pure column
+    expressions (zip_with + aggregate, JVM-side) — no sort, no limit.
+    The independent referee for the numpy/Arrow ANN re-rank paths."""
     q = _q_lit(query_vec)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), q, lambda x, y: x * y),
@@ -41,11 +42,18 @@ def cosine_topk_sql(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
     )
     n2 = float(np.sqrt(np.dot(query_vec, query_vec)))
+    return df.select(
+        F.col(id_col), F.round(dot / (n1 * F.lit(n2)), 6).alias("cosine")
+    )
+
+
+def cosine_topk_sql(
+    df: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k as pure column expressions (zip_with + aggregate,
+    JVM-side). Deterministic tie-break (cosine desc, id asc)."""
     return (
-        df.select(
-            F.col(id_col),
-            F.round(dot / (n1 * F.lit(n2)), 6).alias("cosine"),
-        )
+        exact_cosines(df, query_vec, id_col, vec_col)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

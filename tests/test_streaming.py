@@ -440,3 +440,45 @@ def test_delete_where_bulk_predicate_no_driver_ids(spark, tmp_path):
     s2 = IndexSearcher(spark, idx)
     assert len(s2.tombstones) == 0
     assert s2.n_docs == 30 * 4 - 22
+
+
+def test_distributed_path_snapshot_isolation_under_append(spark, tmp_path):
+    """Lucene point-in-time reader semantics on the DISTRIBUTED path
+    (driver-path snapshot tests exist; round-4 verdict item 7 asks for
+    this one): a searcher opened before an append keeps serving the
+    as-of-open corpus from search_df — its cached file index and packed
+    doc-side norms never see the new batch dirs — while refresh()
+    returns a searcher that scores the union corpus."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    s_old = IndexSearcher(spark, idx)
+    before = s_old.search_df(["the"], k=10_000).toPandas()  # builds doc-side cache
+    assert (before["conv_id"] < "conv00000020").all()
+    n_before = len(before)
+    assert s_old.count_df(["the"]) == n_before
+
+    append_batch(spark, _corpus(spark, 20, 30), idx, epoch_id=0)
+
+    # pre-refresh: identical result set, no appended conv leaks in
+    mid = s_old.search_df(["the"], k=10_000).toPandas()
+    assert sorted(mid["doc_id"]) == sorted(before["doc_id"])
+    assert (mid["conv_id"] < "conv00000020").all()
+    assert s_old.count_df(["the"]) == n_before
+
+    # post-refresh: the appended conversations are searchable distributed
+    s_new = s_old.refresh()
+    after = s_new.search_df(["the"], k=10_000).toPandas()
+    assert len(after) > n_before
+    assert (after["conv_id"] >= "conv00000020").any()
+    assert s_new.count_df(["the"]) == len(after)
+    # scores equal a from-scratch build over the union corpus (BM25 stats
+    # are corpus-global): spot-check the distributed top-k
+    idx_full = str(tmp_path / "idx_full")
+    build_index(spark, _corpus(spark, 0, 30), idx_full, n_buckets=8, n_segments=2)
+    ref = IndexSearcher(spark, idx_full)
+    ga = s_new.search_df(["baco", "cora"], k=15).toPandas()
+    gb = ref.search_df(["baco", "cora"], k=15).toPandas()
+    assert ga["doc_id"].tolist() == gb["doc_id"].tolist()
+    assert ga["score"].tolist() == pytest.approx(gb["score"].tolist())
+    s_new.close()
+    ref.close()
