@@ -135,6 +135,18 @@ postings), so no component here is a serial bottleneck at 4N executors.
 """
 
 
+def _notes_section() -> str:
+    """Embed BENCH_NOTES.md — the hand-maintained round-over-round
+    narrative (suite changes, optimization deltas, decompositions) —
+    so regenerating BENCH.md from a fresh scaling window never loses
+    it. Edit the notes file, not BENCH.md."""
+    path = os.path.join(REPO, "BENCH_NOTES.md")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        return "\n" + f.read().strip() + "\n"
+
+
 def _positions_cost_section() -> str:
     """Embed the positional-postings cost note
     (scripts/positions_cost.py → POSITIONS_COST.json) if measured."""
@@ -359,6 +371,7 @@ shared disk at both levels. These are exactly the resources a real
 single box shares.
 """
     md += _postings_decomp_section()
+    md += _notes_section()
     md += _positions_cost_section()
     md += f"""
 ## Measurement history (same code path, same input shape)
