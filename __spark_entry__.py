@@ -476,6 +476,101 @@ def _ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ES query-DSL adapter entries (query/dsl.py) ---------------------------
+#
+# The reference never calls a programmatic search API — every query it
+# issues is an ES JSON body (bool/filter/must/should/must_not, nested,
+# multi_match bool_prefix: GeoNetworkServiceImpl.java:118,
+# IndexerServiceIT.java:219-238). These entries put the DSL compiler
+# itself under the DuckDB value gate: the same composite bool body runs
+# on BOTH execution paths, and the reference's literal nested SAYT
+# request runs over the two real field indexes.
+
+_DSL_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "spark merge"}}],
+            "should": [{"match": {"text": "join"}}],
+            "filter": [
+                {"terms": {"role": ["en", "es", "de"]}},  # role carries lang
+                {"range": {"turn_idx": {"gte": 0}}},
+            ],
+            "must_not": [{"term": {"role": "de"}}],
+        }
+    },
+    "size": BM25_K,
+}
+
+
+def _dsl_for(spark: SparkSession, sf_dir: str) -> "object":
+    from es_indexer_spark.query.dsl import DslSearcher
+
+    key = f"dsl:{sf_dir}"
+    d = _SEARCHER_CACHE.get(key)
+    s = _index_for(spark, sf_dir)
+    if d is None or d.s is not s:
+        d = DslSearcher(s)
+        _SEARCHER_CACHE[key] = d
+    return d
+
+
+def _shape_hits(spark: SparkSession, got) -> DataFrame:
+    out = got[["conv_id", "score"]].copy()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    out["score"] = out["score"].round(4)
+    return spark.createDataFrame(out[["doc_id", "score"]])
+
+
+def _ft_bool_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite ES bool body (must+should+filter+must_not) through the
+    DSL compiler, driver path: BM25(must terms) + BM25(should term) over
+    docs passing the metadata filters."""
+    return _shape_hits(spark, _dsl_for(spark, sf_dir).search(_DSL_BODY))
+
+
+def _ft_bool_dsl_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same body, distributed path: every leaf a (doc_ord, score) frame,
+    bool structure as join algebra, same oracle."""
+    got = _dsl_for(spark, sf_dir).search_df(_DSL_BODY).toPandas()
+    return _shape_hits(spark, got)
+
+
+def _ft_dsl_sayt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship request VERBATIM in structure
+    (IndexerServiceIT.java:219-238): bool(filter match_all, must
+    nested(bool should multi_match bool_prefix fields ^10/^2 fuzziness
+    AUTO)) — through the DSL over the two real field indexes; oracle =
+    the same SQL as ft_multifield_bool_prefix."""
+    from es_indexer_spark.query.dsl import DslSearcher
+
+    mf = _mf_searcher(spark, sf_dir)
+    (s_title, _), (s_body, _) = mf.fields
+    dsl = DslSearcher(s_body, text_fields={"title": s_title, "body": s_body})
+    body = {
+        "query": {
+            "bool": {
+                "filter": [{"match_all": {}}],
+                "must": [{
+                    "nested": {
+                        "path": "search_suggestions",
+                        "query": {"bool": {"should": [{
+                            "multi_match": {
+                                "query": _MF_QUERY,
+                                "fields": [
+                                    f"title^{int(_MF_TITLE_BOOST)}",
+                                    f"body^{int(_MF_BODY_BOOST)}",
+                                ],
+                                "type": "bool_prefix",
+                                "fuzziness": "AUTO",
+                            }}]}},
+                    }}],
+            }
+        },
+        "size": BM25_K,
+    }
+    return _shape_hits(spark, dsl.search(body))
+
+
 SQL_TOKENS = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
 
 
@@ -502,6 +597,51 @@ tok as (
              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
          ) as score
   from tf
+  join dl on tf.doc_id = dl.doc_id
+  join dft on tf.term = dft.term
+  cross join stats
+  group by 1
+)
+select doc_id, round(score, 4) as score
+from scores
+order by score desc, doc_id::varchar asc
+limit {BM25_K}
+"""
+
+
+def _sql_bool_dsl() -> str:
+    """Full SQL restatement of _DSL_BODY: BM25 over the must+should terms,
+    docs qualified by the must predicate (≥1 of spark/merge) and the
+    metadata filter / must_not clauses (lang ∈ {en,es,de}, lang ≠ de)."""
+    return f"""
+with src as (select * from documents),
+tok as (
+  select doc_id, unnest({SQL_TOKENS}) as term from src
+), dl as (
+  select doc_id, count(*)::double as dl from tok group by 1
+), stats as (
+  select (select count(*) from src)::double as n,
+         (select coalesce(sum(dl), 0) from dl)
+           / (select count(*) from src)::double as avgdl
+), tf as (
+  select doc_id, term, count(*)::double as tf
+  from tok where term in ('spark', 'merge', 'join') group by 1, 2
+), dft as (
+  select term, count(*)::double as df from tf group by 1
+), qual as (
+  select s.doc_id from src s
+  where s.lang in ('en', 'es', 'de')   -- bool.filter terms
+    and s.lang <> 'de'                 -- bool.must_not term
+    and exists (select 1 from tf       -- bool.must: match(spark merge)
+                where tf.doc_id = s.doc_id
+                  and tf.term in ('spark', 'merge'))
+), scores as (
+  select tf.doc_id,
+         sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) as score
+  from tf
+  join qual on tf.doc_id = qual.doc_id
   join dl on tf.doc_id = dl.doc_id
   join dft on tf.term = dft.term
   cross join stats
@@ -1270,6 +1410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp_ivf_exhaustive": _tp_ivf_exhaustive,
         "tp_exact_dups": _tp_exact_dups,
         "ft_multifield_bool_prefix": _ft_multifield_bool_prefix,  # new
+        "ft_bool_dsl": _ft_bool_dsl,  # new round 5: ES-JSON DSL compiler
+        "ft_bool_dsl_distributed": _ft_bool_dsl_distributed,  # new round 5
+        "ft_dsl_sayt_nested": _ft_dsl_sayt_nested,  # new round 5
         "tp_minhash_pairs": _tp_minhash_pairs,  # membership invariant
         "tp_minhash_precision": _tp_minhash_precision,
         # -- tier 2: the fulltext engine (index layout + delete path
@@ -1536,6 +1679,9 @@ def oracle_sql() -> dict[str, str]:
             "from embeddings where false"
         ),
         "ft_multifield_bool_prefix": _sql_multifield_bool_prefix(),
+        "ft_bool_dsl": _sql_bool_dsl(),
+        "ft_bool_dsl_distributed": _sql_bool_dsl(),
+        "ft_dsl_sayt_nested": _sql_multifield_bool_prefix(),
         "tp_cosine_topk": _sql_cosine(),
         "tp_ann_exhaustive": _sql_cosine(),
         "tp_ivf_exhaustive": _sql_cosine(),

@@ -1,0 +1,733 @@
+"""ES query-DSL adapter: run the reference's literal JSON request bodies.
+
+The reference never calls a programmatic search API — every query it
+issues is an Elasticsearch JSON body:
+
+- ``bool(filter: match_phrase …)``         GeoNetworkServiceImpl.java:118
+- ``ids {values}``                         IndexerMetadataServiceImpl.java:122-127
+- ``match_all + sort + search_after``      GeoNetworkServiceImpl.java:585-603
+- ``bool(filter match_all, must nested(bool should multi_match
+  bool_prefix ^10/^5/^2 fuzziness AUTO))`` IndexerServiceIT.java:219-238
+- ``term`` / ``size(0)`` counts            ElasticSearchIndexService.java:54-78,
+                                           GeoNetworkServiceImpl.java:395-410
+
+``DslSearcher`` compiles those bodies onto the engine: scored leaves
+(match / match_phrase / multi_match / prefix / fuzzy) evaluate through
+the same posting decode + BM25 kernels as ``IndexSearcher.search``;
+metadata leaves (term / terms / range / exists / ids on stored fields)
+evaluate as predicates over doc_stats; ``bool`` combines them with exact
+Lucene semantics (must = intersect + sum, should = optional score with
+``minimum_should_match``, filter / must_not = unscored). Both execution
+paths are provided: a driver path over dense numpy vectors (small-corpus
+/ interactive) and a distributed path where every leaf is a
+``(doc_ord, score)`` DataFrame and boolean structure is join algebra —
+the scale path at 10^9 docs, auto-dispatched above
+``driver_max_docs`` exactly like ``IndexSearcher.search``.
+
+Documented deviations from Elasticsearch (each asserted in
+``tests/test_dsl.py``):
+
+- ``nested`` unwraps its inner query: this corpus is flat (one turn =
+  one doc), matching how the reference's single ``nested`` use targets a
+  flattened sub-object.
+- ``prefix`` / ``fuzzy`` / ``bool_prefix`` score the dictionary
+  expansion with BM25 (the engine's scored-union, same as its
+  ``suggest`` path) instead of ES's ``constant_score`` rewrite.
+- a ``bool`` with only ``filter`` / ``must_not`` clauses matches with
+  score 0.0 (ES behavior for pure filter context).
+- ``minimum_should_match`` accepts integers only.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import bm25
+from ..analysis import tokenize_py
+from . import scoring
+from .engine import IndexSearcher
+from .multifield import TIER_BOOSTS, _tier_boosts
+
+# stored-field (metadata) leaves evaluate as predicates, never postings
+_META_FIELDS = ("doc_id", "conv_id", "turn_idx", "role", "tool", "ts")
+
+_RANGE_OPS = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+
+
+class EsDslError(ValueError):
+    """Malformed or unsupported query body."""
+
+
+Vec = tuple[np.ndarray, np.ndarray]  # (doc_ord asc, score aligned)
+
+
+def _empty() -> Vec:
+    return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+
+def _and2(a: Vec, b: Vec) -> Vec:
+    docs, ia, ib = np.intersect1d(a[0], b[0], assume_unique=True, return_indices=True)
+    return docs, a[1][ia] + b[1][ib]
+
+
+def _or2(a: Vec, b: Vec) -> Vec:
+    docs = np.union1d(a[0], b[0])
+    sc = np.zeros(len(docs), dtype=np.float64)
+    sc[np.searchsorted(docs, a[0])] += a[1]
+    sc[np.searchsorted(docs, b[0])] += b[1]
+    return docs, sc
+
+
+def _andnot(a: Vec, b: Vec) -> Vec:
+    keep = ~np.isin(a[0], b[0], assume_unique=True)
+    return a[0][keep], a[1][keep]
+
+
+def _semi(a: Vec, b: Vec) -> Vec:
+    """a restricted to b's docs; a's scores (filter never contributes)."""
+    keep = np.isin(a[0], b[0], assume_unique=True)
+    return a[0][keep], a[1][keep]
+
+
+def _single(clause) -> list:
+    """ES accepts a lone clause object or a list of them."""
+    if clause is None:
+        return []
+    return clause if isinstance(clause, list) else [clause]
+
+
+def _field_and_body(q: dict, leaf: str) -> tuple[str, dict]:
+    """``{"match": {"text": "q"}}`` or ``{"match": {"text": {...}}}``."""
+    if len(q) != 1:
+        raise EsDslError(f"{leaf} must name exactly one field: {q}")
+    field, body = next(iter(q.items()))
+    if not isinstance(body, dict):
+        key = {"fuzzy": "value", "prefix": "value", "term": "value"}.get(leaf, "query")
+        body = {key: body}
+    return field, body
+
+
+class DslSearcher:
+    """Execute ES-JSON request bodies against one or more field indexes.
+
+    ``fields`` maps ES field names to ``IndexSearcher`` instances over the
+    SAME corpus (identical doc-ordinal space — verified). The default
+    field receives ``match``/``match_phrase`` on its own name; metadata
+    names (``role``/``conv_id``/…) always resolve to stored-field
+    predicates, never postings."""
+
+    def __init__(
+        self,
+        searcher: IndexSearcher,
+        *,
+        text_fields: dict[str, IndexSearcher] | None = None,
+        default_field: str = "text",
+    ):
+        self.s = searcher
+        self.fields: dict[str, IndexSearcher] = {default_field: searcher}
+        for name, fs in (text_fields or {}).items():
+            if fs.n_docs != searcher.n_docs:
+                raise EsDslError(f"field {name!r} covers a different corpus")
+            self.fields[name] = fs
+        self._meta_cache: dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------ helpers
+    def _field_searcher(self, name: str) -> IndexSearcher:
+        base = name.split("^", 1)[0]
+        try:
+            return self.fields[base]
+        except KeyError:
+            raise EsDslError(
+                f"unknown text field {base!r}; registered: {sorted(self.fields)}"
+            ) from None
+
+    def _meta_array(self, field: str) -> np.ndarray:
+        """Dense doc_ord-indexed stored-field column (driver path)."""
+        if field not in _META_FIELDS:
+            raise EsDslError(f"unknown metadata field {field!r}")
+        nm = self.s._load_norms()
+        if field in nm:
+            return nm[field]
+        if field not in self._meta_cache:  # ts is not in the norms pack
+            pdf = (
+                self.s._doc_ds.to_table(columns=["doc_ord", field])
+                .to_pandas()
+                .sort_values("doc_ord")
+            )
+            self._meta_cache[field] = pdf[field].to_numpy()
+        return self._meta_cache[field]
+
+    def _mask_to_vec(self, mask: np.ndarray, score: float) -> Vec:
+        docs = np.flatnonzero(mask).astype(np.int64)
+        if len(self.s.tombstones):
+            docs = docs[~np.isin(docs, self.s.tombstones)]
+        return docs, np.full(len(docs), score, dtype=np.float64)
+
+    def _all_docs(self, score: float) -> Vec:
+        docs = np.arange(self.s.n_docs, dtype=np.int64)
+        if len(self.s.tombstones):
+            docs = docs[~np.isin(docs, self.s.tombstones)]
+        return docs, np.full(len(docs), score, dtype=np.float64)
+
+    def _full_vector(
+        self,
+        fs: IndexSearcher,
+        terms: list[str],
+        mode: str = "or",
+        term_boosts: dict[str, float] | None = None,
+    ) -> Vec:
+        """FULL matching-doc BM25 vector (docs asc) — the scored-leaf
+        primitive; same decode + ``_score_gathered`` kernel as search."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            return _empty()
+        views = fs._views(uniq, term_boosts=term_boosts)
+        if mode == "and" and any(v.df == 0 for v in views):
+            return _empty()
+        views = [v for v in views if v.df > 0]
+        if not views:
+            return _empty()
+        gathered = [v.decode_all() for v in views]
+        nm = fs._load_norms()
+        return scoring._score_gathered(
+            views, gathered, nm["dl"], 0, fs.avgdl, None, mode, fs.tombstones
+        )
+
+    @staticmethod
+    def _msm_default(q: dict) -> int:
+        if "minimum_should_match" in q:
+            m = q["minimum_should_match"]
+            if not isinstance(m, int):
+                raise EsDslError("minimum_should_match: integers only")
+            return m
+        has_base = bool(q.get("must")) or bool(q.get("filter"))
+        return 0 if has_base else (1 if q.get("should") else 0)
+
+    def _range_cmp(self, field: str, ops: dict, arr_or_col, is_df: bool):
+        """Build the conjunction of range bounds over a numpy array
+        (driver) or a Column (distributed)."""
+        conds = []
+        for op, val in ops.items():
+            if op not in _RANGE_OPS:
+                raise EsDslError(f"range: unknown operator {op!r}")
+            if field == "ts" and not is_df:
+                val = np.datetime64(pd.Timestamp(val))
+            if is_df:
+                col = arr_or_col
+                cond = {"gte": col >= val, "gt": col > val,
+                        "lte": col <= val, "lt": col < val}[op]
+            else:
+                cond = getattr(arr_or_col, _RANGE_OPS[op])(val)
+            conds.append(cond)
+        if not conds:
+            raise EsDslError("range: need at least one of gte/gt/lte/lt")
+        return reduce(lambda a, b: a & b, conds)
+
+    def _mm_specs(self, body: dict) -> list[tuple[IndexSearcher, float, list[str], dict | None]]:
+        """Resolve a multi_match body to per-field (searcher, boost,
+        terms, term_boosts) specs — bool_prefix expansion mirrors
+        ``MultiFieldSearcher.bool_prefix`` (IndexerServiceIT.java:219-238:
+        all tokens but the last fuzzy-AUTO, last token prefix, shingle
+        fields tier-boosted 10/5/2)."""
+        query = body.get("query")
+        if not isinstance(query, str):
+            raise EsDslError("multi_match: needs a string 'query'")
+        names = body.get("fields") or [next(iter(self.fields))]
+        mm_type = body.get("type", "best_fields")
+        fuzzy = str(body.get("fuzziness", "")).upper() == "AUTO"
+        specs = []
+        for name in names:
+            fs = self._field_searcher(name)
+            fboost = float(name.split("^", 1)[1]) if "^" in name else 1.0
+            if mm_type == "bool_prefix":
+                toks = tokenize_py(query)
+                if not toks:
+                    continue
+                terms: list[str] = []
+                for t in toks[:-1]:
+                    terms.extend(fs.expand_fuzzy(t) if fuzzy else [t])
+                terms.extend(fs.expand_prefix(toks[-1]) or [toks[-1]])
+                terms = list(dict.fromkeys(terms))
+                tb = (
+                    _tier_boosts(terms, TIER_BOOSTS)
+                    if fs.manifest.get("analyzer") == "suggest"
+                    else None
+                )
+            else:
+                terms = fs.analyze_query(query)
+                tb = None
+            specs.append((fs, fboost, terms, tb))
+        return specs
+
+    # ------------------------------------------------------- driver path
+    def _eval(self, q: dict, scored: bool) -> Vec:
+        if not isinstance(q, dict) or len(q) != 1:
+            raise EsDslError(f"a query clause is one {{type: body}} object: {q!r}")
+        kind, body = next(iter(q.items()))
+        fn = getattr(self, f"_q_{kind}", None)
+        if fn is None:
+            raise EsDslError(f"unsupported query type {kind!r}")
+        return fn(body, scored)
+
+    def _q_match_all(self, body, scored) -> Vec:
+        return self._all_docs(float(body.get("boost", 1.0)) if scored else 0.0)
+
+    def _q_ids(self, body, scored) -> Vec:
+        values = list(body.get("values", []))
+        mask = np.isin(self._meta_array("doc_id"), np.asarray(values, object))
+        return self._mask_to_vec(mask, 1.0 if scored else 0.0)
+
+    def _q_term(self, body, scored) -> Vec:
+        field, b = _field_and_body(body, "term")
+        value = b["value"]
+        if field in self.fields:
+            # unanalyzed exact term against the field's postings (scored)
+            docs, sc = self._full_vector(self.fields[field], [str(value)])
+            return (docs, sc * float(b.get("boost", 1.0))) if scored else (docs, np.zeros(len(docs)))
+        arr = self._meta_array(field)
+        return self._mask_to_vec(arr == value, 1.0 if scored else 0.0)
+
+    def _q_terms(self, body, scored) -> Vec:
+        field, values = next(iter(body.items()))
+        if field in self.fields:
+            docs, sc = self._full_vector(self.fields[field], [str(v) for v in values])
+            return (docs, sc) if scored else (docs, np.zeros(len(docs)))
+        arr = self._meta_array(field)
+        return self._mask_to_vec(np.isin(arr, list(values)), 1.0 if scored else 0.0)
+
+    def _q_range(self, body, scored) -> Vec:
+        field, ops = next(iter(body.items()))
+        mask = self._range_cmp(field, ops, self._meta_array(field), is_df=False)
+        return self._mask_to_vec(np.asarray(mask, dtype=bool), 1.0 if scored else 0.0)
+
+    def _q_exists(self, body, scored) -> Vec:
+        arr = self._meta_array(body["field"])
+        return self._mask_to_vec(pd.notna(arr), 1.0 if scored else 0.0)
+
+    def _q_match(self, body, scored) -> Vec:
+        field, b = _field_and_body(body, "match")
+        fs = self._field_searcher(field)
+        terms = fs.analyze_query(b["query"])
+        mode = str(b.get("operator", "or")).lower()
+        docs, sc = self._full_vector(fs, terms, mode)
+        boost = float(b.get("boost", 1.0))
+        return (docs, sc * boost) if scored else (docs, np.zeros(len(docs)))
+
+    def _q_match_phrase(self, body, scored) -> Vec:
+        field, b = _field_and_body(body, "match_phrase")
+        fs = self._field_searcher(field)
+        terms = tokenize_py(b["query"])
+        if not terms:
+            return _empty()
+        fs._require_positions(terms)
+        docs, sc = self._full_vector(fs, terms, "and")
+        if len(terms) > 1 and len(docs):
+            views = {v.term: v for v in fs._views(sorted(set(terms)))}
+            hits = scoring.phrase_docs([views[t] for t in terms], docs)
+            keep = np.isin(docs, hits)
+            docs, sc = docs[keep], sc[keep]
+        boost = float(b.get("boost", 1.0))
+        return (docs, sc * boost) if scored else (docs, np.zeros(len(docs)))
+
+    def _q_prefix(self, body, scored) -> Vec:
+        field, b = _field_and_body(body, "prefix")
+        fs = self._field_searcher(field)
+        exps = fs.expand_prefix(str(b["value"]))
+        docs, sc = self._full_vector(fs, exps) if exps else _empty()
+        return (docs, sc * float(b.get("boost", 1.0))) if scored else (docs, np.zeros(len(docs)))
+
+    def _q_fuzzy(self, body, scored) -> Vec:
+        field, b = _field_and_body(body, "fuzzy")
+        fs = self._field_searcher(field)
+        exps = fs.expand_fuzzy(str(b["value"]))
+        docs, sc = self._full_vector(fs, exps) if exps else _empty()
+        return (docs, sc * float(b.get("boost", 1.0))) if scored else (docs, np.zeros(len(docs)))
+
+    def _q_multi_match(self, body, scored) -> Vec:
+        specs = self._mm_specs(body)
+        mm_type = body.get("type", "best_fields")
+        per_field = [
+            (self._full_vector(fs, terms, term_boosts=tb), fb)
+            for fs, fb, terms, tb in specs
+        ]
+        per_field = [((d, s * fb)) for (d, s), fb in per_field]
+        if not per_field:
+            return _empty()
+        if mm_type == "best_fields":
+            tie = float(body.get("tie_breaker", 0.0))
+            docs = reduce(np.union1d, [v[0] for v in per_field])
+            best = np.zeros(len(docs))
+            total = np.zeros(len(docs))
+            for d, s in per_field:
+                sl = np.searchsorted(docs, d)
+                np.maximum.at(best, sl, s)
+                total[sl] += s
+            sc = best + tie * (total - best)
+        else:  # most_fields / bool_prefix: cross-field sum
+            docs, sc = reduce(_or2, per_field)
+        return (docs, sc) if scored else (docs, np.zeros(len(docs)))
+
+    def _q_constant_score(self, body, scored) -> Vec:
+        docs, _ = self._eval(body["filter"], scored=False)
+        return docs, np.full(len(docs), float(body.get("boost", 1.0)) if scored else 0.0)
+
+    def _q_nested(self, body, scored) -> Vec:
+        # flat corpus: the reference's one nested use targets a flattened
+        # sub-object (IndexerServiceIT.java:219-238) — unwrap
+        return self._eval(body["query"], scored)
+
+    def _q_bool(self, body, scored) -> Vec:
+        musts = [self._eval(c, scored) for c in _single(body.get("must"))]
+        filters = [self._eval(c, False) for c in _single(body.get("filter"))]
+        nots = [self._eval(c, False) for c in _single(body.get("must_not"))]
+        shoulds = [self._eval(c, scored) for c in _single(body.get("should"))]
+        msm = self._msm_default(body)
+
+        base: Vec | None = None
+        if musts:
+            base = reduce(_and2, musts)
+        for f in filters:
+            base = (f[0], np.zeros(len(f[0]))) if base is None else _semi(base, f)
+
+        if shoulds:
+            docs_all = np.concatenate([s[0] for s in shoulds])
+            sc_all = np.concatenate([s[1] for s in shoulds])
+            uniq, inv = np.unique(docs_all, return_inverse=True)
+            ssum = np.zeros(len(uniq))
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(ssum, inv, sc_all)
+            np.add.at(cnt, inv, 1)
+            if base is None:
+                keep = cnt >= max(msm, 1)
+                base = uniq[keep], ssum[keep]
+            elif len(uniq) == 0:
+                if msm > 0:
+                    base = _empty()
+            else:
+                if msm > 0:
+                    ok = uniq[cnt >= msm]
+                    keep = np.isin(base[0], ok, assume_unique=True)
+                    base = base[0][keep], base[1][keep]
+                sl = np.minimum(np.searchsorted(uniq, base[0]), len(uniq) - 1)
+                hit = uniq[sl] == base[0]
+                base = base[0], base[1] + np.where(hit, ssum[sl], 0.0)
+        if base is None:
+            base = self._all_docs(0.0)  # pure-negative bool: ES implicit match_all
+        for n in nots:
+            base = _andnot(base, n)
+        boost = float(body.get("boost", 1.0))
+        return (base[0], base[1] * boost) if scored else (base[0], np.zeros(len(base[0])))
+
+    # ------------------------------------------------------- public (driver)
+    @staticmethod
+    def _parse_body(body: dict, k: int | None) -> tuple[dict, int, int, float | None]:
+        if "query" in body:
+            q = body["query"]
+            size = int(body.get("size", 10)) if k is None else k
+            from_ = int(body.get("from", 0))
+            min_score = body.get("min_score")
+        else:
+            q, size, from_, min_score = body, (10 if k is None else k), 0, None
+        return q, size, from_, (float(min_score) if min_score is not None else None)
+
+    def search(self, body: dict, k: int | None = None) -> pd.DataFrame:
+        """Execute a request body; returns the engine's standard hit frame
+        (doc_ord, doc_id, conv_id, turn_idx, role, score), (score desc,
+        doc_ord asc). Auto-dispatches to the distributed path above
+        ``driver_max_docs`` — same policy as ``IndexSearcher.search``."""
+        if self.s.n_docs > self.s.driver_max_docs:
+            return self.search_df(body, k).toPandas()
+        q, size, from_, min_score = self._parse_body(body, k)
+        docs, sc = self._eval(q, scored=True)
+        if min_score is not None:
+            keep = sc >= min_score
+            docs, sc = docs[keep], sc[keep]
+        top_docs, top_sc = bm25.topk_desc(sc, docs, size + from_)
+        return self.s._materialize(top_docs[from_:], top_sc[from_:])
+
+    def count(self, body: dict) -> int:
+        """size(0) total-hits count (GeoNetworkServiceImpl.java:395-410)."""
+        q, _, _, _ = self._parse_body(body, None)
+        if self.s.n_docs > self.s.driver_max_docs:
+            return self._eval_df(q, scored=False).count()
+        return int(len(self._eval(q, scored=False)[0]))
+
+    # -------------------------------------------------- distributed path
+    def _live_meta_df(self) -> DataFrame:
+        from ..streaming.incremental import mask_tombstones
+
+        return mask_tombstones(self.s.doc_stats_df(), self.s.tombstones)
+
+    def _meta_vec_df(self, cond, scored: bool) -> DataFrame:
+        score = F.lit(1.0 if scored else 0.0).alias("score")
+        df = self._live_meta_df()
+        if cond is not None:
+            df = df.filter(cond)
+        return df.select("doc_ord", score)
+
+    def _scores_or_zero(self, df: DataFrame, scored: bool) -> DataFrame:
+        return df if scored else df.select("doc_ord", F.lit(0.0).alias("score"))
+
+    def _match_df(self, fs: IndexSearcher, terms: list[str], mode: str,
+                  term_boosts: dict | None = None) -> DataFrame:
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self.s.spark.createDataFrame([], "doc_ord long, score double")
+        if mode != "and" or len(uniq) == 1:
+            return fs.scores_df(uniq, term_boosts=term_boosts)
+        # conjunction: per-term vectors inner-joined on doc_ord (terms are
+        # few; each join is doc_ord-keyed and AQE-broadcastable when one
+        # side is a rare term)
+        parts = [
+            fs.scores_df([t], term_boosts=term_boosts)
+            .withColumnRenamed("score", f"s{i}")
+            for i, t in enumerate(uniq)
+        ]
+        joined = reduce(lambda a, b: a.join(b, "doc_ord"), parts)
+        total = reduce(lambda a, b: a + b, [F.col(f"s{i}") for i in range(len(uniq))])
+        return joined.select("doc_ord", total.alias("score"))
+
+    def _phrase_vec_df(self, fs: IndexSearcher, terms: list[str]) -> DataFrame:
+        """FULL phrase-hit score vector, segment-parallel — the bool-tree
+        phrase leaf. ``search_df(phrase_terms=…)`` returns a top-k and
+        collects it driver-side; inside a bool tree we need every hit
+        with NO O(hits) driver state, so this mirrors ``scores_df``'s
+        cogroup with the same AND-intersect + adjacency filter
+        ``search_df`` applies per segment (match_phrase in ``bool.filter``
+        is the reference's shape, GeoNetworkServiceImpl.java:118)."""
+        from pyspark.sql import types as T
+
+        empty = self.s.spark.createDataFrame([], "doc_ord long, score double")
+        if not terms:
+            return empty
+        fs._require_positions(terms)
+        uniq_terms = sorted(set(terms))
+        dfs = fs._global_dfs(uniq_terms)
+        if any(dfs[t] == 0 for t in uniq_terms):
+            return empty
+        postings = fs._postings_df(uniq_terms)
+        doc_side = fs._doc_side()
+        n_docs, avgdl, tombstones = fs.n_docs, fs.avgdl, fs.tombstones
+        qterms = list(terms)
+
+        def seg(pq: pd.DataFrame, dq: pd.DataFrame) -> pd.DataFrame:
+            out0 = pd.DataFrame({"doc_ord": [], "score": []})
+            if len(pq) == 0 or len(dq) == 0:
+                return out0
+            r0 = dq.iloc[0]
+            base = int(r0["base"])
+            dl_of = np.frombuffer(r0["dl_bytes"], dtype="<i4").astype(np.int64)
+            pq = pq.sort_values(["term", "seg", "min_doc"])
+            by_term = {
+                t: scoring.TermView(t, pq[pq["term"] == t], dfs[t], n_docs)
+                for t in uniq_terms
+            }
+            if any(v.df == 0 for v in by_term.values()):
+                return out0
+            gathered = {t: by_term[t].decode_all() for t in uniq_terms}
+            inter = gathered[qterms[0]][0]
+            for t in qterms[1:]:
+                inter = np.intersect1d(inter, gathered[t][0])
+            ordered = [by_term[t] for t in qterms]
+            hits = scoring.phrase_docs(ordered, inter) if len(qterms) > 1 else inter
+            if len(tombstones):
+                hits = hits[~np.isin(hits, tombstones)]
+            if len(hits) == 0:
+                return out0
+            docs, scores = scoring._score_gathered(
+                [by_term[t] for t in uniq_terms],
+                [gathered[t] for t in uniq_terms],
+                dl_of, base, avgdl, None, "and", tombstones,
+            )
+            keep = np.isin(docs, hits)
+            return pd.DataFrame({"doc_ord": docs[keep], "score": scores[keep]})
+
+        out_schema = T.StructType(
+            [T.StructField("doc_ord", T.LongType()), T.StructField("score", T.DoubleType())]
+        )
+        return (
+            postings.groupBy("seg")
+            .cogroup(doc_side.groupBy("seg"))
+            .applyInPandas(lambda key, pq, dq: seg(pq, dq), out_schema)
+        )
+
+    def _eval_df(self, q: dict, scored: bool) -> DataFrame:
+        if not isinstance(q, dict) or len(q) != 1:
+            raise EsDslError(f"a query clause is one {{type: body}} object: {q!r}")
+        kind, body = next(iter(q.items()))
+        if kind == "match_all":
+            return self._meta_vec_df(None, scored)
+        if kind == "ids":
+            return self._meta_vec_df(F.col("doc_id").isin(list(body.get("values", []))), scored)
+        if kind == "term":
+            field, tb = _field_and_body(body, "term")
+            if field in self.fields:
+                return self._scores_or_zero(
+                    self._match_df(self.fields[field], [str(tb["value"])], "or"), scored)
+            return self._meta_vec_df(F.col(field) == tb["value"], scored)
+        if kind == "terms":
+            field, values = next(iter(body.items()))
+            if field in self.fields:
+                return self._scores_or_zero(
+                    self._match_df(self.fields[field], [str(v) for v in values], "or"), scored)
+            return self._meta_vec_df(F.col(field).isin(list(values)), scored)
+        if kind == "range":
+            field, ops = next(iter(body.items()))
+            return self._meta_vec_df(self._range_cmp(field, ops, F.col(field), is_df=True), scored)
+        if kind == "exists":
+            return self._meta_vec_df(F.col(body["field"]).isNotNull(), scored)
+        if kind == "match":
+            field, b = _field_and_body(body, "match")
+            fs = self._field_searcher(field)
+            terms = fs.analyze_query(b["query"])
+            df = self._match_df(fs, terms, str(b.get("operator", "or")).lower())
+            boost = float(b.get("boost", 1.0))
+            if scored and boost != 1.0:
+                df = df.select("doc_ord", (F.col("score") * boost).alias("score"))
+            return self._scores_or_zero(df, scored)
+        if kind == "match_phrase":
+            field, b = _field_and_body(body, "match_phrase")
+            fs = self._field_searcher(field)
+            terms = tokenize_py(b["query"])
+            return self._scores_or_zero(self._phrase_vec_df(fs, terms), scored)
+        if kind == "prefix":
+            field, b = _field_and_body(body, "prefix")
+            fs = self._field_searcher(field)
+            exps = fs.expand_prefix_df(str(b["value"]))
+            return self._scores_or_zero(self._match_df(fs, exps, "or"), scored)
+        if kind == "fuzzy":
+            field, b = _field_and_body(body, "fuzzy")
+            fs = self._field_searcher(field)
+            exps = fs.expand_fuzzy_df(str(b["value"]))
+            return self._scores_or_zero(self._match_df(fs, exps, "or"), scored)
+        if kind == "multi_match":
+            specs = self._mm_specs(body)
+            mm_type = body.get("type", "best_fields")
+            parts = [
+                self._match_df(fs, terms, "or", term_boosts=tb)
+                .select("doc_ord", (F.col("score") * fb).alias("score"))
+                for fs, fb, terms, tb in specs
+            ]
+            if not parts:
+                return self.s.spark.createDataFrame([], "doc_ord long, score double")
+            u = reduce(lambda a, b: a.unionByName(b), parts)
+            if mm_type == "best_fields":
+                tie = float(body.get("tie_breaker", 0.0))
+                agg = u.groupBy("doc_ord").agg(
+                    F.max("score").alias("best"), F.sum("score").alias("tot"))
+                df = agg.select(
+                    "doc_ord",
+                    (F.col("best") + F.lit(tie) * (F.col("tot") - F.col("best"))).alias("score"),
+                )
+            else:
+                df = u.groupBy("doc_ord").agg(F.sum("score").alias("score"))
+            return self._scores_or_zero(df, scored)
+        if kind == "constant_score":
+            inner = self._eval_df(body["filter"], scored=False)
+            return inner.select(
+                "doc_ord", F.lit(float(body.get("boost", 1.0)) if scored else 0.0).alias("score"))
+        if kind == "nested":
+            return self._eval_df(body["query"], scored)
+        if kind == "bool":
+            return self._bool_df(body, scored)
+        raise EsDslError(f"unsupported query type {kind!r}")
+
+    def _bool_df(self, body: dict, scored: bool) -> DataFrame:
+        musts = [self._eval_df(c, scored) for c in _single(body.get("must"))]
+        filters = [self._eval_df(c, False) for c in _single(body.get("filter"))]
+        nots = [self._eval_df(c, False) for c in _single(body.get("must_not"))]
+        should_clauses = _single(body.get("should"))
+        msm = self._msm_default(body)
+
+        base: DataFrame | None = None
+        if musts:
+            parts = [m.withColumnRenamed("score", f"m{i}") for i, m in enumerate(musts)]
+            base = reduce(lambda a, b: a.join(b, "doc_ord"), parts)
+            total = reduce(lambda a, b: a + b, [F.col(f"m{i}") for i in range(len(musts))])
+            base = base.select("doc_ord", total.alias("score"))
+        for f in filters:
+            fd = f.select("doc_ord")
+            base = (
+                fd.withColumn("score", F.lit(0.0))
+                if base is None
+                else base.join(fd, "doc_ord", "left_semi")
+            )
+        if should_clauses:
+            tagged = [
+                self._eval_df(c, scored).withColumn("cid", F.lit(i))
+                for i, c in enumerate(should_clauses)
+            ]
+            sagg = (
+                reduce(lambda a, b: a.unionByName(b), tagged)
+                .groupBy("doc_ord")
+                .agg(F.sum("score").alias("s_add"), F.countDistinct("cid").alias("s_n"))
+            )
+            if base is None:
+                base = sagg.filter(F.col("s_n") >= max(msm, 1)).select(
+                    "doc_ord", F.col("s_add").alias("score"))
+            else:
+                base = base.join(sagg, "doc_ord", "left")
+                if msm > 0:
+                    base = base.filter(F.coalesce(F.col("s_n"), F.lit(0)) >= msm)
+                base = base.select(
+                    "doc_ord",
+                    (F.col("score") + F.coalesce(F.col("s_add"), F.lit(0.0))).alias("score"),
+                )
+        if base is None:
+            base = self._meta_vec_df(None, scored=False)  # implicit match_all
+        for n in nots:
+            base = base.join(n.select("doc_ord"), "doc_ord", "left_anti")
+        boost = float(body.get("boost", 1.0))
+        if scored and boost != 1.0:
+            base = base.select("doc_ord", (F.col("score") * boost).alias("score"))
+        if not scored:
+            base = base.select("doc_ord", F.lit(0.0).alias("score"))
+        return base
+
+    def search_df(self, body: dict, k: int | None = None) -> DataFrame:
+        """Distributed execution: every leaf is a (doc_ord, score) frame,
+        boolean structure is join algebra, the global cut is one
+        orderBy/limit, and the k winners are enriched with the same
+        pushed-ordinal stored-fields point-read as
+        ``IndexSearcher.search_df``."""
+        q, size, from_, min_score = self._parse_body(body, k)
+        vec = self._eval_df(q, scored=True)
+        if min_score is not None:
+            vec = vec.filter(F.col("score") >= min_score)
+        top_rows = (
+            vec.orderBy(F.desc("score"), F.asc("doc_ord"))
+            .limit(size + from_)
+            .collect()[from_:]
+        )
+        empty = self.s.spark.createDataFrame(
+            [],
+            "doc_ord long, doc_id string, conv_id string, turn_idx int, "
+            "role string, score double",
+        )
+        if not top_rows:
+            return empty
+        score_df = self.s.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_ord": np.asarray([r["doc_ord"] for r in top_rows], np.int64),
+                    "score": [float(r["score"]) for r in top_rows],
+                }
+            )
+        )
+        from ..planlimits import IN_LITERAL_MAX
+
+        base = self.s.doc_stats_df().select(
+            "doc_ord", "doc_id", "conv_id", "turn_idx", "role")
+        ords = [int(r["doc_ord"]) for r in top_rows]
+        if len(ords) <= IN_LITERAL_MAX:
+            base = base.filter(F.col("doc_ord").isin(ords))
+        return (
+            base.join(F.broadcast(score_df), "doc_ord")
+            .select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score")
+            .orderBy(F.desc("score"), F.asc("doc_ord"))
+        )

@@ -1,0 +1,272 @@
+"""ES query-DSL adapter semantics (query/dsl.py): the reference's literal
+JSON request shapes (GeoNetworkServiceImpl.java:118, :395-410, :585-603;
+IndexerMetadataServiceImpl.java:122-127; IndexerServiceIT.java:219-238)
+against both execution paths, plus Lucene bool semantics (filter never
+scores, must_not excludes, minimum_should_match, boosts)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from es_indexer_spark.corpus import synth_transcripts
+from es_indexer_spark.index.build import build_index
+from es_indexer_spark.query.dsl import DslSearcher, EsDslError
+from es_indexer_spark.query.engine import IndexSearcher
+from es_indexer_spark.query.multifield import MultiFieldSearcher
+
+
+@pytest.fixture(scope="module")
+def dsl(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("dsl_idx"))
+    df = synth_transcripts(spark, n_convs=100, turns_per_conv=6, seed=11)
+    build_index(spark, df, idx_dir, n_buckets=8, n_segments=4, with_positions=True)
+    s = IndexSearcher(spark, idx_dir)
+    yield DslSearcher(s)
+    s.close()
+
+
+def _ids(pdf):
+    return pdf["doc_id"].tolist()
+
+
+# ---------------------------------------------------------------- leaves
+
+def test_match_equals_engine_search(dsl):
+    for mode in ("or", "and"):
+        got = dsl.search({"match": {"text": {"query": "baco cora", "operator": mode}}}, k=10)
+        want = dsl.s.search(["baco", "cora"], k=10, mode=mode)
+        assert _ids(got) == _ids(want)
+        np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=0)
+
+
+def test_match_phrase_equals_engine(dsl):
+    got = dsl.search({"match_phrase": {"text": "baco cora"}}, k=10)
+    want = dsl.s.phrase_search("baco cora", k=10)
+    assert _ids(got) == _ids(want)
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=0)
+
+
+def test_ids_term_terms_range_exists(dsl):
+    nm = dsl.s._load_norms()
+    some_id = nm["doc_id"][5]
+    got = dsl.search({"ids": {"values": [some_id, "nope"]}}, k=10)
+    assert _ids(got) == [some_id] and got["score"].tolist() == [1.0]
+
+    got = dsl.search({"query": {"term": {"role": "assistant"}}, "size": 10_000})
+    assert set(got["role"]) == {"assistant"}
+    assert len(got) == int((nm["role"] == "assistant").sum())
+
+    got = dsl.search({"query": {"terms": {"role": ["user", "system"]}}, "size": 10_000})
+    assert set(got["role"]) <= {"user", "system"}
+
+    got = dsl.search({"query": {"range": {"turn_idx": {"gte": 2, "lt": 4}}}, "size": 10_000})
+    assert set(got["turn_idx"]) == {2, 3}
+
+    n_all = dsl.count({"match_all": {}})
+    assert dsl.count({"exists": {"field": "conv_id"}}) == n_all == dsl.s.n_docs
+
+
+def test_prefix_and_fuzzy_score_the_expansion(dsl):
+    exps = dsl.s.expand_prefix("bac")
+    assert exps
+    got = dsl.search({"prefix": {"text": "bac"}}, k=10)
+    want = dsl.s.search(exps, k=10, mode="or")
+    assert _ids(got) == _ids(want)
+
+    exps = dsl.s.expand_fuzzy("bacp")  # 1 edit from "baco"
+    assert "baco" in exps
+    got = dsl.search({"fuzzy": {"text": {"value": "bacp"}}}, k=10)
+    want = dsl.s.search(exps, k=10, mode="or")
+    assert _ids(got) == _ids(want)
+
+
+def test_multi_match_single_field_reduces_to_match(dsl):
+    for t in ("most_fields", "best_fields"):
+        got = dsl.search({"multi_match": {"query": "baco cora", "fields": ["text"], "type": t}}, k=10)
+        want = dsl.s.search(["baco", "cora"], k=10)
+        assert _ids(got) == _ids(want)
+        np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-12)
+
+
+def test_multi_match_bool_prefix_matches_multifield_engine(dsl):
+    got = dsl.search(
+        {"multi_match": {"query": "baco cor", "fields": ["text"],
+                         "type": "bool_prefix", "fuzziness": "AUTO"}}, k=10)
+    want = MultiFieldSearcher([(dsl.s, 1.0)]).bool_prefix("baco cor", k=10)
+    assert _ids(got) == _ids(want)
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-9)
+
+
+# ------------------------------------------------------------- bool logic
+
+def test_bool_filter_restricts_without_scoring(dsl):
+    plain = dsl.search({"match": {"text": "baco"}}, k=10_000)
+    filtered = dsl.search(
+        {"bool": {"must": [{"match": {"text": "baco"}}],
+                  "filter": [{"term": {"role": "assistant"}}]}}, k=10_000)
+    assert set(filtered["role"]) == {"assistant"}
+    # filter clause must not change the surviving docs' scores
+    merged = filtered.merge(plain, on="doc_ord", suffixes=("_f", "_p"))
+    np.testing.assert_allclose(merged["score_f"], merged["score_p"], rtol=0, atol=0)
+    assert len(filtered) == int((plain["role"] == "assistant").sum())
+
+
+def test_bool_must_sums_and_intersects(dsl):
+    a = dsl.search({"match": {"text": "baco"}}, k=10_000)
+    b = dsl.search({"match": {"text": "cora"}}, k=10_000)
+    both = dsl.search(
+        {"bool": {"must": [{"match": {"text": "baco"}}, {"match": {"text": "cora"}}]}},
+        k=10_000)
+    inter = set(a["doc_ord"]) & set(b["doc_ord"])
+    assert set(both["doc_ord"]) == inter
+    sa = dict(zip(a["doc_ord"], a["score"]))
+    sb = dict(zip(b["doc_ord"], b["score"]))
+    for d, s in zip(both["doc_ord"], both["score"]):
+        assert s == pytest.approx(sa[d] + sb[d], abs=1e-12)
+
+
+def test_bool_should_adds_optional_score_and_must_not_excludes(dsl):
+    base = dsl.search({"bool": {"must": [{"match": {"text": "baco"}}]}}, k=10_000)
+    with_should = dsl.search(
+        {"bool": {"must": [{"match": {"text": "baco"}}],
+                  "should": [{"match": {"text": "cora"}}],
+                  "must_not": [{"term": {"role": "system"}}]}}, k=10_000)
+    assert "system" not in set(with_should["role"])
+    assert set(with_should["doc_ord"]) == {
+        d for d, r in zip(base["doc_ord"], base["role"]) if r != "system"}
+    cora = dict(zip(*(lambda p: (p["doc_ord"], p["score"]))(
+        dsl.search({"match": {"text": "cora"}}, k=10_000))))
+    sbase = dict(zip(base["doc_ord"], base["score"]))
+    for d, s in zip(with_should["doc_ord"], with_should["score"]):
+        assert s == pytest.approx(sbase[d] + cora.get(d, 0.0), abs=1e-12)
+
+
+def test_minimum_should_match(dsl):
+    body = {"bool": {"should": [{"match": {"text": "baco"}},
+                                {"match": {"text": "cora"}},
+                                {"match": {"text": "dala"}}],
+                     "minimum_should_match": 2}}
+    got = dsl.search(body, k=10_000)
+    sets = [set(dsl.search({"match": {"text": t}}, k=10_000)["doc_ord"])
+            for t in ("baco", "cora", "dala")]
+    want = {d for d in set().union(*sets) if sum(d in s for s in sets) >= 2}
+    assert set(got["doc_ord"]) == want
+
+
+def test_nested_unwraps_and_constant_score(dsl):
+    got = dsl.search(
+        {"nested": {"path": "search_suggestions",
+                    "query": {"match": {"text": "baco"}}}}, k=10)
+    want = dsl.search({"match": {"text": "baco"}}, k=10)
+    assert _ids(got) == _ids(want)
+
+    cs = dsl.search(
+        {"constant_score": {"filter": {"term": {"role": "user"}}, "boost": 3.5}},
+        k=10_000)
+    assert set(cs["score"]) == {3.5} and set(cs["role"]) == {"user"}
+
+
+def test_pure_filter_bool_scores_zero(dsl):
+    got = dsl.search({"bool": {"filter": [{"term": {"role": "user"}}]}}, k=50)
+    assert set(got["score"]) == {0.0}
+
+
+def test_reference_sayt_shape_runs(dsl):
+    """The reference's flagship request (IndexerServiceIT.java:219-238),
+    verbatim structure: bool(filter match_all, must nested(bool should
+    multi_match bool_prefix fuzziness AUTO))."""
+    body = {
+        "query": {
+            "bool": {
+                "filter": [{"match_all": {}}],
+                "must": [{
+                    "nested": {
+                        "path": "search_suggestions",
+                        "query": {"bool": {"should": [{
+                            "multi_match": {
+                                "query": "baco cor",
+                                "fields": ["text^10"],
+                                "type": "bool_prefix",
+                                "fuzziness": "AUTO",
+                            }}]}},
+                    }}],
+            }
+        },
+        "size": 10,
+    }
+    got = dsl.search(body)
+    want = MultiFieldSearcher([(dsl.s, 10.0)]).bool_prefix("baco cor", k=10)
+    assert _ids(got) == _ids(want)
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-9)
+
+
+# -------------------------------------------------- pagination / counting
+
+def test_size_from_pagination(dsl):
+    full = dsl.search({"match": {"text": "the"}}, k=10)
+    page2 = dsl.search({"query": {"match": {"text": "the"}}, "size": 5, "from": 5})
+    assert _ids(page2) == _ids(full)[5:]
+
+
+def test_count_matches_search(dsl):
+    n = dsl.count({"bool": {"must": [{"match": {"text": "baco"}}],
+                            "filter": [{"term": {"role": "assistant"}}]}})
+    hits = dsl.search({"bool": {"must": [{"match": {"text": "baco"}}],
+                                "filter": [{"term": {"role": "assistant"}}]}}, k=10_000)
+    assert n == len(hits)
+
+
+# ------------------------------------------------------ distributed parity
+
+COMPOSITE = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "baco cora"}}],
+            "should": [{"match": {"text": "dala"}},
+                       {"match_phrase": {"text": "baco cora"}}],
+            "filter": [{"range": {"turn_idx": {"gte": 1}}}],
+            "must_not": [{"term": {"role": "system"}}],
+        }
+    },
+    "size": 15,
+}
+
+
+def test_distributed_parity_on_composite_bool(dsl):
+    got_driver = dsl.search(COMPOSITE)
+    got_dist = dsl.search_df(COMPOSITE).toPandas()
+    assert _ids(got_dist) == _ids(got_driver)
+    np.testing.assert_allclose(
+        got_dist["score"], got_driver["score"], rtol=0, atol=1e-9)
+
+
+def test_distributed_parity_on_leaves(dsl):
+    for body in (
+        {"match": {"text": "baco"}},
+        {"match": {"text": {"query": "baco cora", "operator": "and"}}},
+        {"match_phrase": {"text": "baco cora"}},
+        {"terms": {"role": ["user", "assistant"]}},
+        {"prefix": {"text": "bac"}},
+        {"multi_match": {"query": "baco cor", "fields": ["text"],
+                         "type": "bool_prefix", "fuzziness": "AUTO"}},
+    ):
+        got_driver = dsl.search(body, k=10)
+        got_dist = dsl.search_df(body, k=10).toPandas()
+        assert _ids(got_dist) == _ids(got_driver), body
+        np.testing.assert_allclose(
+            got_dist["score"], got_driver["score"], rtol=0, atol=1e-9)
+
+
+# ------------------------------------------------------------------ errors
+
+def test_unsupported_and_malformed(dsl):
+    with pytest.raises(EsDslError):
+        dsl.search({"more_like_this": {"fields": ["text"]}})
+    with pytest.raises(EsDslError):
+        dsl.search({"match": {"text": "a", "other": "b"}})
+    with pytest.raises(EsDslError):
+        dsl.search({"term": {"no_such_field": "x"}})
+    with pytest.raises(EsDslError):
+        dsl.search({"bool": {"should": [{"match_all": {}}],
+                             "minimum_should_match": "75%"}})
