@@ -571,6 +571,38 @@ def _ft_dsl_sayt_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shape_hits(spark, dsl.search(body))
 
 
+def _ft_dsl_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 as a VERBATIM JSON body (GeoNetworkServiceImpl.java:585-603):
+    query + sort + search_after + _source through the DSL's distributed
+    scan path — keyset predicate pushed to the doc_stats parquet, no
+    deep offset. Filter narrows to two langs to prove the semi-join leg
+    sorts correctly too."""
+    d = _dsl_for(spark, sf_dir)
+    got = d.search({
+        "query": {"terms": {"role": ["en", "fr"]}},
+        "sort": [{"conv_id": "asc"}],
+        "search_after": ["200"],
+        "_source": ["conv_id", "role"],
+        "size": 50,
+    })
+    out = got[["role"]].copy()
+    out["doc_id"] = got["conv_id"].astype("int64")
+    out["page_ord"] = range(len(got))  # prove the ORDER, not just the set
+    return spark.createDataFrame(out[["page_ord", "doc_id", "role"]])
+
+
+def _sql_keyset_page() -> str:
+    return """
+        select (row_number() over (order by doc_id::varchar asc) - 1)::bigint
+                 as page_ord,
+               doc_id::bigint as doc_id, lang as role
+        from documents
+        where lang in ('en', 'fr') and doc_id::varchar > '200'
+        order by doc_id::varchar asc
+        limit 50
+    """
+
+
 SQL_TOKENS = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
 
 
@@ -1413,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_dsl": _ft_bool_dsl,  # new round 5: ES-JSON DSL compiler
         "ft_bool_dsl_distributed": _ft_bool_dsl_distributed,  # new round 5
         "ft_dsl_sayt_nested": _ft_dsl_sayt_nested,  # new round 5
+        "ft_dsl_keyset_page": _ft_dsl_keyset_page,  # new round 5: Q4 via DSL
         "tp_minhash_pairs": _tp_minhash_pairs,  # membership invariant
         "tp_minhash_precision": _tp_minhash_precision,
         # -- tier 2: the fulltext engine (index layout + delete path
@@ -1682,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bool_dsl": _sql_bool_dsl(),
         "ft_bool_dsl_distributed": _sql_bool_dsl(),
         "ft_dsl_sayt_nested": _sql_multifield_bool_prefix(),
+        "ft_dsl_keyset_page": _sql_keyset_page(),
         "tp_cosine_topk": _sql_cosine(),
         "tp_ann_exhaustive": _sql_cosine(),
         "tp_ivf_exhaustive": _sql_cosine(),

@@ -36,6 +36,11 @@ Documented deviations from Elasticsearch (each asserted in
 - a ``bool`` with only ``filter`` / ``must_not`` clauses matches with
   score 0.0 (ES behavior for pure filter context).
 - ``minimum_should_match`` accepts integers only.
+- ``sort`` accepts stored-field names and ``_score``; sorted requests
+  (the reference's ``match_all + sort + search_after`` pager,
+  GeoNetworkServiceImpl.java:585-603) always execute on the distributed
+  scan path — the keyset predicate pushes to parquet exactly like
+  ``IndexSearcher.scan_after``, so a pager never deep-offsets.
 """
 
 from __future__ import annotations
@@ -423,11 +428,102 @@ class DslSearcher:
         boost = float(body.get("boost", 1.0))
         return (base[0], base[1] * boost) if scored else (base[0], np.zeros(len(base[0])))
 
+    # ----------------------------------------------------- sorted scan path
+    def _parse_sort(self, sort) -> list[tuple[str, bool]]:
+        """Normalize ES sort syntax to [(field, ascending)]. Accepts
+        ``"field"``, ``{"field": "asc"}``, ``{"field": {"order": "desc"}}``
+        (and a single item or a list). ``_score`` defaults desc, stored
+        fields default asc — ES behavior."""
+        out: list[tuple[str, bool]] = []
+        for item in sort if isinstance(sort, list) else [sort]:
+            if isinstance(item, str):
+                field, order = item, None
+            elif isinstance(item, dict) and len(item) == 1:
+                field, spec = next(iter(item.items()))
+                order = spec.get("order") if isinstance(spec, dict) else spec
+            else:
+                raise EsDslError(f"bad sort clause: {item!r}")
+            if order is None:
+                order = "desc" if field == "_score" else "asc"
+            if order not in ("asc", "desc"):
+                raise EsDslError(f"sort order must be asc|desc, got {order!r}")
+            if field != "_score" and field not in _META_FIELDS and field != "doc_ord":
+                raise EsDslError(
+                    f"unsortable field {field!r}; sortable: _score, doc_ord, "
+                    f"{', '.join(_META_FIELDS)}"
+                )
+            out.append((field, order == "asc"))
+        if not out:
+            raise EsDslError("empty sort")
+        return out
+
+    @staticmethod
+    def _keyset_cond(cols, vals, ascs):
+        """Lexicographic search_after predicate: rows strictly AFTER the
+        cursor in (cols, ascs) order. Built back-to-front so the leading
+        key's bound stays a simple comparison Catalyst can push to the
+        scan (the same shape as ``IndexSearcher.scan_after``)."""
+        cond = None
+        for col, val, asc in reversed(list(zip(cols, vals, ascs))):
+            edge = (col > val) if asc else (col < val)
+            cond = edge if cond is None else edge | ((col == val) & cond)
+        return cond
+
+    def _sorted_scan_df(self, body: dict, q: dict, size: int, from_: int) -> DataFrame:
+        """Q4 generalized: any query + stable sort + search_after keyset
+        pagination, distributed. match_all (the reference's pager) never
+        touches postings — it is a pushed-predicate scan of doc_stats;
+        other queries semi-join their match vector first."""
+        keys = self._parse_sort(body["sort"])
+        scored = any(f == "_score" for f, _ in keys)
+        df = self._live_meta_df()
+        kind = next(iter(q)) if isinstance(q, dict) and len(q) == 1 else None
+        if kind == "match_all" and not scored:
+            pass  # pure scan; no posting work at all
+        elif scored:
+            df = df.join(self._eval_df(q, scored=True), "doc_ord")
+        else:
+            df = df.join(self._eval_df(q, scored=False).select("doc_ord"),
+                         "doc_ord", "left_semi")
+        cols = [F.col("score") if f == "_score" else F.col(f) for f, _ in keys]
+        after = body.get("search_after")
+        if after is not None:
+            vals = list(after)
+            if len(vals) != len(keys):
+                raise EsDslError(
+                    f"search_after has {len(vals)} values for {len(keys)} sort keys")
+            vals = [pd.Timestamp(v) if f == "ts" else v
+                    for v, (f, _) in zip(vals, keys)]
+            df = df.filter(self._keyset_cond(cols, vals, [a for _, a in keys]))
+        order = [c.asc() if asc else c.desc() for c, (_, asc) in zip(cols, keys)]
+        if not any(f == "doc_ord" for f, _ in keys):
+            order.append(F.asc("doc_ord"))  # total order => stable pager
+        src = body.get("_source")
+        base = (
+            [src] if isinstance(src, str)
+            else list(src) if src is not None
+            else ["doc_ord", "doc_id", "conv_id", "turn_idx", "role"]
+        )
+        sel = list(dict.fromkeys(
+            base
+            + [f for f, _ in keys if f != "_score"]
+            + (["score"] if scored else [])
+        ))
+        unknown = [c for c in sel if c not in df.columns]
+        if unknown:
+            raise EsDslError(f"unknown _source field(s) {unknown}")
+        out = df.orderBy(*order)
+        if from_:
+            out = out.offset(from_)
+        return out.limit(size).select(*sel)
+
     # ------------------------------------------------------- public (driver)
     @staticmethod
     def _parse_body(body: dict, k: int | None) -> tuple[dict, int, int, float | None]:
-        if "query" in body:
-            q = body["query"]
+        envelope = ("query", "size", "from", "sort", "search_after",
+                    "_source", "min_score", "track_total_hits")
+        if "query" in body or any(k2 in body for k2 in envelope[1:]):
+            q = body.get("query", {"match_all": {}})  # ES implicit match_all
             size = int(body.get("size", 10)) if k is None else k
             from_ = int(body.get("from", 0))
             min_score = body.get("min_score")
@@ -439,8 +535,10 @@ class DslSearcher:
         """Execute a request body; returns the engine's standard hit frame
         (doc_ord, doc_id, conv_id, turn_idx, role, score), (score desc,
         doc_ord asc). Auto-dispatches to the distributed path above
-        ``driver_max_docs`` — same policy as ``IndexSearcher.search``."""
-        if self.s.n_docs > self.s.driver_max_docs:
+        ``driver_max_docs`` — same policy as ``IndexSearcher.search``.
+        Sorted requests (``sort``/``search_after``) always run the
+        distributed scan path — pagination is a scan, not a top-k."""
+        if "sort" in body or self.s.n_docs > self.s.driver_max_docs:
             return self.search_df(body, k).toPandas()
         q, size, from_, min_score = self._parse_body(body, k)
         docs, sc = self._eval(q, scored=True)
@@ -696,6 +794,8 @@ class DslSearcher:
         pushed-ordinal stored-fields point-read as
         ``IndexSearcher.search_df``."""
         q, size, from_, min_score = self._parse_body(body, k)
+        if "sort" in body:
+            return self._sorted_scan_df(body, q, size, from_)
         vec = self._eval_df(q, scored=True)
         if min_score is not None:
             vec = vec.filter(F.col("score") >= min_score)

@@ -270,3 +270,95 @@ def test_unsupported_and_malformed(dsl):
     with pytest.raises(EsDslError):
         dsl.search({"bool": {"should": [{"match_all": {}}],
                              "minimum_should_match": "75%"}})
+
+
+# ------------------------------------------------- sort / search_after (Q4)
+
+def _live_meta(dsl):
+    import pandas as pd
+    nm = dsl.s._load_norms()
+    pdf = pd.DataFrame({
+        "doc_ord": np.arange(dsl.s.n_docs, dtype=np.int64),
+        "doc_id": nm["doc_id"], "conv_id": nm["conv_id"],
+        "turn_idx": nm["turn_idx"], "role": nm["role"],
+    })
+    if len(dsl.s.tombstones):
+        pdf = pdf[~pdf["doc_ord"].isin(dsl.s.tombstones)]
+    return pdf
+
+
+def test_sort_matches_engine_scan_after(dsl):
+    cursor = ("conv0050", 3)
+    want = dsl.s.scan_after(cursor=cursor, page_size=40).toPandas()
+    got = dsl.search({
+        "query": {"match_all": {}},
+        "sort": [{"conv_id": "asc"}, {"turn_idx": "asc"}],
+        "search_after": list(cursor),
+        "size": 40,
+    })
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_sort_pager_covers_corpus_without_dupes(dsl):
+    """Chained search_after pages reconstruct the whole corpus exactly
+    (the reference's bulk-scan loop, GeoNetworkServiceImpl.java:436-535)."""
+    pages, cursor, seen = [], None, 0
+    while True:
+        body = {"sort": [{"conv_id": "asc"}, {"turn_idx": "asc"}], "size": 113}
+        if cursor is not None:
+            body["search_after"] = cursor
+        page = dsl.search(body)
+        if not len(page):
+            break
+        pages.append(page)
+        seen += len(page)
+        cursor = [page.iloc[-1]["conv_id"], int(page.iloc[-1]["turn_idx"])]
+        assert seen <= dsl.s.n_docs, "pager loops"
+    import pandas as pd
+    got = pd.concat(pages, ignore_index=True)
+    want = _live_meta(dsl).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["doc_id"].is_unique
+
+
+def test_sort_by_score_equals_topk(dsl):
+    want = dsl.search({"match": {"text": "baco cora"}}, k=10)
+    got = dsl.search({
+        "query": {"match": {"text": "baco cora"}},
+        "sort": [{"_score": "desc"}],
+        "size": 10,
+    })
+    assert got["doc_ord"].tolist() == want["doc_ord"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-9)
+
+
+def test_sorted_query_with_mixed_directions(dsl):
+    got = dsl.search({
+        "query": {"term": {"role": "user"}},
+        "sort": [{"turn_idx": "desc"}, {"conv_id": "asc"}],
+        "size": 25,
+    })
+    want = (
+        _live_meta(dsl).query("role == 'user'")
+        .sort_values(["turn_idx", "conv_id", "doc_ord"],
+                     ascending=[False, True, True])
+        .head(25)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_sort_source_projection_and_errors(dsl):
+    got = dsl.search({
+        "sort": [{"conv_id": "asc"}], "size": 5, "_source": ["doc_id"]})
+    assert list(got.columns) == ["doc_id", "conv_id"]
+
+    with pytest.raises(EsDslError, match="search_after"):
+        dsl.search({"sort": [{"conv_id": "asc"}], "search_after": ["a", 1],
+                    "size": 5})
+    with pytest.raises(EsDslError, match="unsortable"):
+        dsl.search({"sort": [{"text": "asc"}], "size": 5})
+    with pytest.raises(EsDslError, match="asc\\|desc"):
+        dsl.search({"sort": [{"conv_id": "ascending"}], "size": 5})
