@@ -428,6 +428,52 @@ class DslSearcher:
         boost = float(body.get("boost", 1.0))
         return (base[0], base[1] * boost) if scored else (base[0], np.zeros(len(base[0])))
 
+    # ----------------------------------------------------- WAND fast path
+    def _fastpath_spec(self, q):
+        """Detect request trees the engine's block-max-WAND top-k can
+        answer directly: a bare ``match`` / ``match_phrase`` on a text
+        field, possibly wrapped in ``nested`` or a single-``must`` bool.
+        Returns ``(kind, fs, terms, mode, boost)`` or None. The full
+        bool-algebra evaluator materializes complete score vectors (it
+        must — clauses compose); a bare top-k has no reason to, and at
+        10^9 docs the difference is a per-segment pruned heap vs a
+        corpus-length score column. Exactness is unaffected: both paths
+        share the decode + ``_score_gathered`` kernels (asserted
+        rank+score-identical in tests)."""
+        if not (isinstance(q, dict) and len(q) == 1):
+            return None
+        kind, body = next(iter(q.items()))
+        if kind == "nested":
+            return self._fastpath_spec(body.get("query"))
+        if kind == "bool":
+            present = {c for c in ("must", "should", "filter", "must_not")
+                       if _single(body.get(c))}
+            if (
+                present == {"must"}
+                and "minimum_should_match" not in body
+                and float(body.get("boost", 1.0)) == 1.0
+            ):
+                musts = _single(body["must"])
+                if len(musts) == 1:
+                    return self._fastpath_spec(musts[0])
+            return None
+        if kind not in ("match", "match_phrase"):
+            return None
+        field, b = _field_and_body(body, kind)
+        if field not in self.fields:
+            return None
+        fs = self.fields[field]
+        if kind == "match_phrase":
+            terms = tokenize_py(b["query"])
+            if not terms:
+                return None  # slow path owns the empty-query edge
+            return ("phrase", fs, terms, "and", float(b.get("boost", 1.0)))
+        mode = str(b.get("operator", "or")).lower()
+        terms = fs.analyze_query(b["query"])
+        if not terms:
+            return None
+        return ("match", fs, terms, mode, float(b.get("boost", 1.0)))
+
     # ----------------------------------------------------- sorted scan path
     def _parse_sort(self, sort) -> list[tuple[str, bool]]:
         """Normalize ES sort syntax to [(field, ascending)]. Accepts
@@ -541,6 +587,19 @@ class DslSearcher:
         if "sort" in body or self.s.n_docs > self.s.driver_max_docs:
             return self.search_df(body, k).toPandas()
         q, size, from_, min_score = self._parse_body(body, k)
+        spec = self._fastpath_spec(q)
+        if spec is not None:
+            kind, fs, terms, mode, boost = spec
+            out = (
+                fs.phrase_search(terms, k=size + from_)
+                if kind == "phrase"
+                else fs.search(terms, k=size + from_, mode=mode)
+            )
+            if boost != 1.0:
+                out = out.assign(score=out["score"] * boost)
+            if min_score is not None:
+                out = out[out["score"] >= min_score]
+            return out.iloc[from_:].reset_index(drop=True)
         docs, sc = self._eval(q, scored=True)
         if min_score is not None:
             keep = sc >= min_score
@@ -796,6 +855,19 @@ class DslSearcher:
         q, size, from_, min_score = self._parse_body(body, k)
         if "sort" in body:
             return self._sorted_scan_df(body, q, size, from_)
+        spec = self._fastpath_spec(q)
+        if spec is not None:
+            kind, fs, terms, mode, boost = spec
+            out = (
+                fs.search_df(terms, k=size + from_, mode="and", phrase_terms=terms)
+                if kind == "phrase"
+                else fs.search_df(terms, k=size + from_, mode=mode)
+            )
+            if boost != 1.0:
+                out = out.withColumn("score", F.col("score") * F.lit(boost))
+            if min_score is not None:
+                out = out.filter(F.col("score") >= min_score)
+            return out.offset(from_) if from_ else out
         vec = self._eval_df(q, scored=True)
         if min_score is not None:
             vec = vec.filter(F.col("score") >= min_score)

@@ -362,3 +362,51 @@ def test_sort_source_projection_and_errors(dsl):
         dsl.search({"sort": [{"text": "asc"}], "size": 5})
     with pytest.raises(EsDslError, match="asc\\|desc"):
         dsl.search({"sort": [{"conv_id": "ascending"}], "size": 5})
+
+
+# ------------------------------------------------------- WAND fast path
+
+def _slow_search(dsl, q, k):
+    """Force the full bool-algebra evaluator (what composed trees use)."""
+    import es_indexer_spark.bm25 as bm25
+    docs, sc = dsl._eval(q, scored=True)
+    top_docs, top_sc = bm25.topk_desc(sc, docs, k)
+    return dsl.s._materialize(top_docs, top_sc)
+
+
+@pytest.mark.parametrize("q", [
+    {"match": {"text": "baco cora"}},
+    {"match": {"text": {"query": "baco cora", "operator": "and"}}},
+    {"match": {"text": {"query": "baco", "boost": 2.5}}},
+    {"match_phrase": {"text": "baco cora"}},
+    {"bool": {"must": [{"match": {"text": "baco cora"}}]}},
+    {"nested": {"path": "p", "query": {"match": {"text": "baco cora"}}}},
+])
+def test_fastpath_identical_to_bool_evaluator(dsl, q):
+    assert dsl._fastpath_spec(q) is not None
+    got = dsl.search({"query": q, "size": 10})
+    want = _slow_search(dsl, q, 10)
+    assert got["doc_ord"].tolist() == want["doc_ord"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("q", [
+    {"bool": {"must": [{"match": {"text": "baco"}}],
+              "filter": [{"term": {"role": "user"}}]}},
+    {"bool": {"must": [{"match": {"text": "baco"}},
+                       {"match": {"text": "cora"}}]}},
+    {"bool": {"must": [{"match": {"text": "baco"}}], "boost": 2.0}},
+    {"term": {"role": "user"}},
+    {"match": {"text": ""}},
+    {"multi_match": {"query": "baco", "fields": ["text"]}},
+])
+def test_fastpath_declines_composed_trees(dsl, q):
+    assert dsl._fastpath_spec(q) is None
+
+
+def test_fastpath_distributed_parity(dsl):
+    body = {"query": {"match": {"text": "baco cora"}}, "size": 10}
+    got = dsl.search_df(body).toPandas()
+    want = dsl.search(body)
+    assert got["doc_ord"].tolist() == want["doc_ord"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-9)
