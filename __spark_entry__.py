@@ -39,6 +39,8 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -589,6 +591,58 @@ def _ft_dsl_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     out["doc_id"] = got["conv_id"].astype("int64")
     out["page_ord"] = range(len(got))  # prove the ORDER, not just the set
     return spark.createDataFrame(out[["page_ord", "doc_id", "role"]])
+
+
+def _ft_dsl_agg_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES aggs through the DSL: query-filtered terms bucket agg with an
+    exact-cardinality sub-metric — one groupBy job over the semi-joined
+    doc_stats frame; buckets ES-ordered (doc_count desc, key asc)."""
+    d = _dsl_for(spark, sf_dir)
+    res = d.aggregate({
+        "query": {"match": {"text": "spark"}},
+        "aggs": {"langs": {
+            "terms": {"field": "role", "size": 10},
+            "aggs": {"n_tools": {"cardinality": {"field": "tool"}}},
+        }},
+    })
+    rows = [
+        (b["key"], int(b["doc_count"]), int(b["n_tools"]["value"]))
+        for b in res["aggregations"]["langs"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["role", "doc_count", "n_tools"]))
+
+
+def _sql_agg_terms() -> str:
+    return f"""
+        with tok as (
+          select doc_id, unnest({SQL_TOKENS}) as term from documents
+        ), m as (select distinct doc_id from tok where term = 'spark')
+        select lang as role, count(*)::bigint as doc_count,
+               count(distinct source)::bigint as n_tools
+        from documents join m using (doc_id)
+        group by 1 order by doc_count desc, role asc limit 10
+    """
+
+
+def _ft_dsl_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram agg on the per-doc length norm (interval 20) — the
+    bucket keys double as a dl-vs-oracle-tokenizer invariant check."""
+    d = _dsl_for(spark, sf_dir)
+    res = d.aggregate({"aggs": {
+        "dlh": {"histogram": {"field": "dl", "interval": 20}}}})
+    rows = [(int(b["key"]), int(b["doc_count"]))
+            for b in res["aggregations"]["dlh"]["buckets"]]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["bucket", "doc_count"]))
+
+
+def _sql_agg_histogram() -> str:
+    return f"""
+        select (floor(len({SQL_TOKENS}) / 20) * 20)::bigint as bucket,
+               count(*)::bigint as doc_count
+        from documents group by 1 order by bucket
+    """
 
 
 def _sql_keyset_page() -> str:
@@ -1446,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_dsl_distributed": _ft_bool_dsl_distributed,  # new round 5
         "ft_dsl_sayt_nested": _ft_dsl_sayt_nested,  # new round 5
         "ft_dsl_keyset_page": _ft_dsl_keyset_page,  # new round 5: Q4 via DSL
+        "ft_dsl_agg_terms": _ft_dsl_agg_terms,  # new round 5: ES aggs
+        "ft_dsl_agg_histogram": _ft_dsl_agg_histogram,  # new round 5
         "tp_minhash_pairs": _tp_minhash_pairs,  # membership invariant
         "tp_minhash_precision": _tp_minhash_precision,
         # -- tier 2: the fulltext engine (index layout + delete path
@@ -1716,6 +1772,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bool_dsl_distributed": _sql_bool_dsl(),
         "ft_dsl_sayt_nested": _sql_multifield_bool_prefix(),
         "ft_dsl_keyset_page": _sql_keyset_page(),
+        "ft_dsl_agg_terms": _sql_agg_terms(),
+        "ft_dsl_agg_histogram": _sql_agg_histogram(),
         "tp_cosine_topk": _sql_cosine(),
         "tp_ann_exhaustive": _sql_cosine(),
         "tp_ivf_exhaustive": _sql_cosine(),

@@ -846,6 +846,166 @@ class DslSearcher:
             base = base.select("doc_ord", F.lit(0.0).alias("score"))
         return base
 
+    # ------------------------------------------------------- aggregations
+    #
+    # ES-shaped "aggs" over the matching doc set. Buckets (terms,
+    # histogram, date_histogram, filter) nest arbitrarily; metrics
+    # (min/max/avg/sum/value_count/cardinality/stats) ride their parent
+    # bucket's groupBy. Every bucket node is ONE groupBy job over the
+    # (already query-filtered) doc_stats frame — shuffles are keyed by
+    # the bucket fields, sibling metrics share the pass, and only the
+    # bucket rows (size-capped) come back to the driver. Deviation from
+    # ES, by design: ``cardinality`` is exact (countDistinct), not HLL —
+    # so doc_count_error_upper_bound is honestly 0.
+
+    _METRIC_FNS = {
+        "min": F.min, "max": F.max, "avg": F.avg, "sum": F.sum,
+        "value_count": F.count, "cardinality": F.countDistinct,
+    }
+    _CAL_UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+    def _agg_field(self, df: DataFrame, spec: dict) -> str:
+        field = spec.get("field")
+        if not isinstance(field, str) or field not in df.columns:
+            raise EsDslError(f"agg field {field!r} not aggregatable "
+                             f"(have: {sorted(df.columns)})")
+        return field
+
+    def _bucket_key_col(self, df: DataFrame, kind: str, spec: dict):
+        """The grouping expression for one bucket agg node."""
+        field = self._agg_field(df, spec)
+        if kind == "terms":
+            return F.col(field)
+        if kind == "histogram":
+            interval = float(spec["interval"])
+            if interval <= 0:
+                raise EsDslError("histogram interval must be > 0")
+            return (F.floor(F.col(field) / interval) * interval)
+        if kind == "date_histogram":
+            unit = spec.get("calendar_interval", spec.get("interval"))
+            if unit not in self._CAL_UNITS:
+                raise EsDslError(
+                    f"date_histogram interval must be one of {self._CAL_UNITS}")
+            return F.date_trunc(unit, F.col(field))
+        raise AssertionError(kind)
+
+    def _metric_exprs(self, df: DataFrame, name: str, kind: str, spec: dict) -> list:
+        if kind == "stats":
+            field = self._agg_field(df, spec)
+            c = F.col(field)
+            return [F.count(c).alias(f"{name} count"),
+                    F.min(c).alias(f"{name} min"),
+                    F.max(c).alias(f"{name} max"),
+                    F.avg(c).alias(f"{name} avg"),
+                    F.sum(c).alias(f"{name} sum")]
+        field = self._agg_field(df, spec)
+        return [self._METRIC_FNS[kind](F.col(field)).alias(f"{name} value")]
+
+    def _run_aggs(self, df: DataFrame, aggs: dict) -> dict:
+        """Evaluate one level of sibling aggs over ``df`` (already
+        restricted to this bucket's docs)."""
+        if not isinstance(aggs, dict) or not aggs:
+            raise EsDslError("aggs must be a non-empty object")
+        out: dict = {}
+        metric_exprs, metric_names = [], []
+        for name, node in aggs.items():
+            kinds = [k2 for k2 in node if k2 != "aggs"]
+            if len(kinds) != 1:
+                raise EsDslError(f"agg {name!r} must have exactly one type")
+            kind = kinds[0]
+            spec = node[kind]
+            sub = node.get("aggs")
+            if kind in self._METRIC_FNS or kind == "stats":
+                if sub:
+                    raise EsDslError(f"metric agg {name!r} cannot have sub-aggs")
+                metric_exprs += self._metric_exprs(df, name, kind, spec)
+                metric_names.append((name, kind))
+            elif kind == "filter":
+                fdf = df.join(self._eval_df(spec, scored=False).select("doc_ord"),
+                              "doc_ord", "left_semi")
+                node_out = {"doc_count": fdf.count()}
+                if sub:
+                    node_out.update(self._run_aggs(fdf, sub))
+                out[name] = node_out
+            elif kind in ("terms", "histogram", "date_histogram"):
+                out[name] = self._bucket_agg(df, kind, spec, sub)
+            else:
+                raise EsDslError(f"unsupported agg type {kind!r}")
+        if metric_exprs:
+            row = df.agg(*metric_exprs).collect()[0].asDict()
+            for name, kind in metric_names:
+                if kind == "stats":
+                    out[name] = {p: row[f"{name} {p}"]
+                                 for p in ("count", "min", "max", "avg", "sum")}
+                else:
+                    out[name] = {"value": row[f"{name} value"]}
+        return out
+
+    def _bucket_agg(self, df: DataFrame, kind: str, spec: dict, sub: dict | None) -> dict:
+        key = self._bucket_key_col(df, kind, spec).alias(" key")
+        size = int(spec.get("size", 10)) if kind == "terms" else None
+        grouped = df.filter(key.isNotNull()).groupBy(key)
+        # sibling metric sub-aggs share this groupBy; bucket sub-aggs
+        # recurse with a per-bucket semi-join (bounded by `size` buckets)
+        metric_sub = {n: v for n, v in (sub or {}).items()
+                      if next(k for k in v if k != "aggs") in
+                      tuple(self._METRIC_FNS) + ("stats",)}
+        bucket_sub = {n: v for n, v in (sub or {}).items() if n not in metric_sub}
+        exprs = [F.count(F.lit(1)).alias(" doc_count")]
+        for n, v in metric_sub.items():
+            kind2 = next(k for k in v if k != "aggs")
+            exprs += self._metric_exprs(df, n, kind2, v[kind2])
+        rows = grouped.agg(*exprs)
+        if kind == "terms":
+            rows = rows.orderBy(F.desc(" doc_count"), F.asc(" key"))
+            total = df.count()
+            collected = rows.limit(size).collect()
+            in_buckets = sum(r[" doc_count"] for r in collected)
+            meta = {"doc_count_error_upper_bound": 0,
+                    "sum_other_doc_count": int(total - in_buckets)}
+        else:
+            collected = rows.orderBy(F.asc(" key")).collect()
+            meta = {}
+        buckets = []
+        for r in collected:
+            rd = r.asDict()
+            b: dict = {"key": rd[" key"], "doc_count": int(rd[" doc_count"])}
+            for n, v in metric_sub.items():
+                kind2 = next(k for k in v if k != "aggs")
+                if kind2 == "stats":
+                    b[n] = {p: rd[f"{n} {p}"]
+                            for p in ("count", "min", "max", "avg", "sum")}
+                else:
+                    b[n] = {"value": rd[f"{n} value"]}
+            if bucket_sub:
+                sel = self._bucket_key_col(df, kind, spec)
+                b.update(self._run_aggs(df.filter(sel.eqNullSafe(rd[" key"])),
+                                        bucket_sub))
+            buckets.append(b)
+        return {**meta, "buckets": buckets}
+
+    def aggregate(self, body: dict) -> dict:
+        """Execute a request body's ``aggs`` section (``size: 0`` style);
+        returns ``{"hits": {"total": n}, "aggregations": {...}}`` shaped
+        like the ES response. The query clause (default match_all) first
+        restricts doc_stats via an unscored semi-join."""
+        q = body.get("query", {"match_all": {}})
+        # stored text never participates in an agg — drop it before the
+        # persist so the cache holds only the narrow metadata columns
+        df = self._live_meta_df().drop("text")
+        kind = next(iter(q)) if isinstance(q, dict) and len(q) == 1 else None
+        if kind != "match_all":
+            df = df.join(self._eval_df(q, scored=False).select("doc_ord"),
+                         "doc_ord", "left_semi")
+        df = df.persist()
+        try:
+            total = df.count()
+            aggs = self._run_aggs(df, body.get("aggs", body.get("aggregations", {})))
+        finally:
+            df.unpersist()
+        return {"hits": {"total": {"value": total, "relation": "eq"}},
+                "aggregations": aggs}
+
     def search_df(self, body: dict, k: int | None = None) -> DataFrame:
         """Distributed execution: every leaf is a (doc_ord, score) frame,
         boolean structure is join algebra, the global cut is one

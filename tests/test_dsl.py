@@ -410,3 +410,100 @@ def test_fastpath_distributed_parity(dsl):
     want = dsl.search(body)
     assert got["doc_ord"].tolist() == want["doc_ord"].tolist()
     np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=1e-9)
+
+
+# ------------------------------------------------------- aggregations
+
+def test_terms_agg_with_query_filter(dsl):
+    res = dsl.aggregate({
+        "query": {"match": {"text": "baco"}},
+        "aggs": {"roles": {"terms": {"field": "role", "size": 10}}},
+    })
+    hits = dsl.search({"match": {"text": "baco"}}, k=10_000)
+    assert res["hits"]["total"]["value"] == len(hits)
+    want = hits["role"].value_counts()
+    got = {b["key"]: b["doc_count"] for b in res["aggregations"]["roles"]["buckets"]}
+    assert got == want.to_dict()
+    # ES ordering: doc_count desc, key asc; exact impl => error bound 0
+    counts = [b["doc_count"] for b in res["aggregations"]["roles"]["buckets"]]
+    assert counts == sorted(counts, reverse=True)
+    assert res["aggregations"]["roles"]["doc_count_error_upper_bound"] == 0
+    assert res["aggregations"]["roles"]["sum_other_doc_count"] == 0
+
+
+def test_terms_size_cap_and_other_count(dsl):
+    res = dsl.aggregate({"aggs": {"r": {"terms": {"field": "role", "size": 1}}}})
+    r = res["aggregations"]["r"]
+    assert len(r["buckets"]) == 1
+    assert r["sum_other_doc_count"] == dsl.s.n_docs - r["buckets"][0]["doc_count"]
+
+
+def test_metric_and_stats_aggs(dsl):
+    meta = _live_meta(dsl)
+    res = dsl.aggregate({"aggs": {
+        "mx": {"max": {"field": "turn_idx"}},
+        "av": {"avg": {"field": "turn_idx"}},
+        "nconv": {"cardinality": {"field": "conv_id"}},
+        "st": {"stats": {"field": "turn_idx"}},
+    }})
+    a = res["aggregations"]
+    assert a["mx"]["value"] == meta["turn_idx"].max()
+    assert a["av"]["value"] == pytest.approx(meta["turn_idx"].mean())
+    assert a["nconv"]["value"] == meta["conv_id"].nunique()
+    assert a["st"]["count"] == len(meta)
+    assert a["st"]["sum"] == meta["turn_idx"].sum()
+
+
+def test_histogram_and_nested_metric(dsl):
+    res = dsl.aggregate({"aggs": {
+        "t2": {"histogram": {"field": "turn_idx", "interval": 2},
+               "aggs": {"n_roles": {"cardinality": {"field": "role"}},
+                        "dl_stats": {"stats": {"field": "dl"}}}},
+    }})
+    meta = _live_meta(dsl)
+    buckets = res["aggregations"]["t2"]["buckets"]
+    assert [b["key"] for b in buckets] == [0, 2, 4]
+    grp = meta.groupby(meta["turn_idx"] // 2 * 2)
+    for b in buckets:
+        assert b["doc_count"] == len(grp.get_group(b["key"]))
+        assert b["n_roles"]["value"] == grp.get_group(b["key"])["role"].nunique()
+        assert b["dl_stats"]["count"] == b["doc_count"]
+
+
+def test_date_histogram_and_filter_agg(dsl):
+    res = dsl.aggregate({"aggs": {
+        "per_day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}},
+        "users": {"filter": {"term": {"role": "user"}},
+                  "aggs": {"n": {"value_count": {"field": "doc_ord"}}}},
+    }})
+    a = res["aggregations"]
+    assert sum(b["doc_count"] for b in a["per_day"]["buckets"]) == dsl.s.n_docs
+    n_user = int((_live_meta(dsl)["role"] == "user").sum())
+    assert a["users"]["doc_count"] == n_user == a["users"]["n"]["value"]
+
+
+def test_nested_bucket_in_bucket(dsl):
+    res = dsl.aggregate({"aggs": {
+        "roles": {"terms": {"field": "role", "size": 2},
+                  "aggs": {"turns": {"terms": {"field": "turn_idx", "size": 3}}}},
+    }})
+    meta = _live_meta(dsl)
+    for rb in res["aggregations"]["roles"]["buckets"]:
+        sub = meta[meta["role"] == rb["key"]]
+        want = sub["turn_idx"].value_counts()
+        for tb in rb["turns"]["buckets"]:
+            assert tb["doc_count"] == want[tb["key"]]
+
+
+def test_agg_errors(dsl):
+    with pytest.raises(EsDslError, match="not aggregatable"):
+        dsl.aggregate({"aggs": {"x": {"terms": {"field": "nope"}}}})
+    with pytest.raises(EsDslError, match="exactly one type"):
+        dsl.aggregate({"aggs": {"x": {"terms": {"field": "role"},
+                                      "max": {"field": "turn_idx"}}}})
+    with pytest.raises(EsDslError, match="cannot have sub-aggs"):
+        dsl.aggregate({"aggs": {"x": {"max": {"field": "turn_idx"},
+                                      "aggs": {"y": {"max": {"field": "turn_idx"}}}}}})
+    with pytest.raises(EsDslError, match="interval"):
+        dsl.aggregate({"aggs": {"x": {"date_histogram": {"field": "ts",
+                                                         "calendar_interval": "fortnight"}}}})
