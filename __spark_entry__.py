@@ -467,6 +467,76 @@ def _ft_churn_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out[["doc_id", "score"]])
 
 
+def _merged_searcher(spark: SparkSession, sf_dir: str) -> "object":
+    """Same churn lifecycle as _churn_searcher (build → append → upsert →
+    bulk delete) but reclaimed by an EXPUNGING TIERED MERGE
+    (`index/merge.py::force_merge`) instead of a blue/green full rebuild:
+    tombstoned docs leave postings/doc_stats in place (ordinals keep
+    holes, norms densify over the span), BM25 stats republish, and the
+    same live-corpus DuckDB oracles must hold — Lucene's
+    forceMerge(expunge deletes) semantics, the 10^12-turn alternative to
+    rebuilding the world."""
+    from es_indexer_spark.corpus import documents_as_transcripts
+    from es_indexer_spark.index.build import build_index
+    from es_indexer_spark.index.merge import force_merge
+    from es_indexer_spark.query.engine import IndexSearcher  # noqa: F401
+    from es_indexer_spark.streaming import incremental as inc
+
+    key = f"merged:{sf_dir}"
+    idx_dir = _INDEX_CACHE.get(key)
+    if idx_dir is None or not os.path.exists(os.path.join(idx_dir, "CURRENT")):
+        idx_dir = tempfile.mkdtemp(prefix="es_merged_")
+        tx = documents_as_transcripts(spark, sf_dir)
+        key_num = F.col("conv_id").cast("long")
+        build_index(spark, tx.filter(key_num % 10 < 8), idx_dir,
+                    n_buckets=16, n_segments=4)
+        inc.append_batch(spark, tx.filter(key_num % 10 >= 8), idx_dir)
+        inc.upsert_docs(
+            spark,
+            tx.filter(key_num % 13 == 3).withColumn(
+                "text", F.concat(F.col("text"), F.lit(_UPSERT_MARK))
+            ),
+            idx_dir,
+        )
+        inc.delete_where(spark, idx_dir, key_num % 7 == 0)
+        force_merge(spark, idx_dir, max_segments=1, expunge=True)
+        _INDEX_CACHE[key] = idx_dir
+        _SEARCHER_CACHE.pop(key, None)
+    return _searcher_for(spark, key, idx_dir)
+
+
+def _ft_merged_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary read out of the expunge-MERGED index: df/total_tf
+    must equal the live corpus exactly (deleted docs left the postings)."""
+    s = _merged_searcher(spark, sf_dir)
+    return (
+        spark.read.parquet(s.term_stats_path)
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("total_tf").cast("long").alias("total_tf"))
+    )
+
+
+def _ft_merged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k out of the expunge-merged index (driver WAND path over
+    an ordinal space WITH holes) vs the live-corpus SQL oracle."""
+    s = _merged_searcher(spark, sf_dir)
+    got = s.search(BM25_TERMS, k=BM25_K, strategy="blockmax")
+    out = got[["conv_id", "score"]].copy()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    out["score"] = out["score"].round(4)
+    return spark.createDataFrame(out[["doc_id", "score"]])
+
+
+def _ft_merged_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed cogroup scoring over the merged single segment — the
+    packed norms densify over the expunged holes; same SQL oracle."""
+    s = _merged_searcher(spark, sf_dir)
+    return s.search_df(BM25_TERMS, k=BM25_K).select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _ft_bm25_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-parallel cogroup scoring path, checked against the SAME full
     SQL BM25 oracle as the driver path (rank identity distributed == driver
@@ -1513,6 +1583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_distributed": _ft_bm25_topk_distributed,
         "ft_churn_term_df": _ft_churn_term_df,
         "ft_churn_bm25_topk": _ft_churn_bm25_topk,
+        "ft_merged_term_df": _ft_merged_term_df,  # new round 5: tiered merge
+        "ft_merged_bm25_topk": _ft_merged_bm25_topk,  # new round 5
+        "ft_merged_bm25_topk_distributed": _ft_merged_bm25_topk_distributed,  # new round 5
         "ft_phrase_hits": _ft_phrase_hits,
         "ft_phrase_hits_distributed": _ft_phrase_hits_distributed,
         "ft_prefix_expansion": _ft_prefix_expansion,
@@ -1578,6 +1651,15 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": _sql_bm25_topk(),
         "ft_bm25_topk_distributed": _sql_bm25_topk(),
         "ft_churn_bm25_topk": _sql_bm25_topk(table=_SQL_LIVE_AFTER_CHURN),
+        "ft_merged_bm25_topk": _sql_bm25_topk(table=_SQL_LIVE_AFTER_CHURN),
+        "ft_merged_bm25_topk_distributed": _sql_bm25_topk(table=_SQL_LIVE_AFTER_CHURN),
+        "ft_merged_term_df": f"""
+            select term, count(distinct doc_id)::bigint as df,
+                   count(*)::bigint as total_tf
+            from (select doc_id, unnest({SQL_TOKENS}) as term
+                  from {_SQL_LIVE_AFTER_CHURN})
+            group by term
+        """,
         "ft_phrase_hits": _sql_phrase_hits(),
         "ft_phrase_hits_distributed": _sql_phrase_hits(),
         "ft_prefix_expansion": _sql_prefix_expansion(),

@@ -455,6 +455,11 @@ def build_index(
         "n_batches": n_batches,
         "with_positions": with_positions,
         "n_docs": n_docs,
+        # next_ord = one past the highest doc ordinal ever allocated. Equal
+        # to n_docs until a merge expunges tombstoned docs (index/merge.py),
+        # after which n_docs (live rows) < next_ord (ordinal span) — appends
+        # MUST allocate from next_ord, never n_docs, or ordinals collide.
+        "next_ord": n_docs,
         "analyzer": analyzer,
     }
 

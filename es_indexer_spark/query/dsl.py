@@ -164,17 +164,36 @@ class DslSearcher:
                 .to_pandas()
                 .sort_values("doc_ord")
             )
-            self._meta_cache[field] = pdf[field].to_numpy()
+            vals = pdf[field].to_numpy()
+            if len(pdf) != self.s.ord_span:
+                # expunged holes: scatter by doc_ord so position == ord.
+                # NaT/None fills compare False everywhere, and the live
+                # mask in _mask_to_vec excludes holes regardless.
+                if np.issubdtype(vals.dtype, np.datetime64):
+                    a = np.full(self.s.ord_span, np.datetime64("NaT"),
+                                dtype=vals.dtype)
+                else:
+                    a = np.full(self.s.ord_span, None, dtype=object)
+                a[pdf["doc_ord"].to_numpy(np.int64)] = vals
+                vals = a
+            self._meta_cache[field] = vals
         return self._meta_cache[field]
 
     def _mask_to_vec(self, mask: np.ndarray, score: float) -> Vec:
+        live = self.s._load_norms()["live"]
+        if live is not None:  # expunged holes: fill values must not match
+            mask = mask & live
         docs = np.flatnonzero(mask).astype(np.int64)
         if len(self.s.tombstones):
             docs = docs[~np.isin(docs, self.s.tombstones)]
         return docs, np.full(len(docs), score, dtype=np.float64)
 
     def _all_docs(self, score: float) -> Vec:
-        docs = np.arange(self.s.n_docs, dtype=np.int64)
+        live = self.s._load_norms()["live"]
+        if live is None:
+            docs = np.arange(self.s.ord_span, dtype=np.int64)
+        else:
+            docs = np.flatnonzero(live).astype(np.int64)
         if len(self.s.tombstones):
             docs = docs[~np.isin(docs, self.s.tombstones)]
         return docs, np.full(len(docs), score, dtype=np.float64)

@@ -121,6 +121,13 @@ class IndexSearcher:
         self.vdir = vdir
         self.manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
         self.n_docs = int(self.manifest["n_docs"])
+        # ordinal span: one past the highest ordinal ever allocated. Equal
+        # to n_docs until an expunging merge (index/merge.py) removes
+        # tombstoned docs WITHOUT renumbering — ordinals then have holes,
+        # and every dense doc_ord-indexed array must size by span, not by
+        # the live-row count. Holes are never referenced: expunged docs
+        # appear in no posting list and no doc_stats row.
+        self.ord_span = int(self.manifest.get("next_ord", self.manifest["n_docs"]))
         self.avgdl = float(self.manifest["avgdl"])
         self.n_buckets = int(self.manifest["n_buckets"])
         self.term_stats_path = os.path.join(
@@ -133,6 +140,9 @@ class IndexSearcher:
             os.path.join(vdir, "doc_stats"), partitioning="hive", format="parquet"
         )
         self._norms: dict | None = None
+        import uuid as _uuid
+
+        self._snapshot_token = _uuid.uuid4().hex  # see _doc_side
         self._term_dict: pd.DataFrame | None = None
         self._chunk_cache: dict[str, pd.DataFrame] = {}
         self._df_cache: dict[str, int] = {}
@@ -222,14 +232,39 @@ class IndexSearcher:
                 columns=["doc_ord", "dl", "role", "tool", "conv_id", "turn_idx", "doc_id"]
             )
             pdf = tbl.to_pandas().sort_values("doc_ord").reset_index(drop=True)
-            self._norms = {
-                "dl": pdf["dl"].to_numpy(np.int64),
-                "role": pdf["role"].to_numpy(object),
-                "tool": pdf["tool"].to_numpy(object),
-                "doc_id": pdf["doc_id"].to_numpy(object),
-                "conv_id": pdf["conv_id"].to_numpy(object),
-                "turn_idx": pdf["turn_idx"].to_numpy(np.int64),
-            }
+            if len(pdf) == self.ord_span:
+                # dense ordinal space: position == doc_ord, no scatter
+                self._norms = {
+                    "dl": pdf["dl"].to_numpy(np.int64),
+                    "role": pdf["role"].to_numpy(object),
+                    "tool": pdf["tool"].to_numpy(object),
+                    "doc_id": pdf["doc_id"].to_numpy(object),
+                    "conv_id": pdf["conv_id"].to_numpy(object),
+                    "turn_idx": pdf["turn_idx"].to_numpy(np.int64),
+                    "live": None,
+                }
+            else:
+                # expunged holes (index/merge.py): scatter each column by
+                # doc_ord into span-sized arrays so position == doc_ord
+                # stays true; holes carry nulls/zeros and are excluded by
+                # the live mask (postings never reference them anyway)
+                span = self.ord_span
+                ords = pdf["doc_ord"].to_numpy(np.int64)
+                live = np.zeros(span, dtype=bool)
+                live[ords] = True
+                nm: dict = {"live": live}
+                for col, dtype, fill in (
+                    ("dl", np.int64, 0),
+                    ("turn_idx", np.int64, -1),
+                ):
+                    a = np.full(span, fill, dtype=dtype)
+                    a[ords] = pdf[col].to_numpy(dtype)
+                    nm[col] = a
+                for col in ("role", "tool", "doc_id", "conv_id"):
+                    a = np.full(span, None, dtype=object)
+                    a[ords] = pdf[col].to_numpy(object)
+                    nm[col] = a
+                self._norms = nm
         return self._norms
 
     def term_dictionary(self) -> pd.DataFrame:
@@ -267,7 +302,7 @@ class IndexSearcher:
         if not role_boosts and not tool_boosts:
             return None, 1.0
         nm = self._load_norms()
-        boost = np.ones(self.n_docs, dtype=np.float64)
+        boost = np.ones(self.ord_span, dtype=np.float64)
         if role_boosts:
             for r, w in role_boosts.items():
                 boost[nm["role"] == r] *= w
@@ -581,10 +616,10 @@ class IndexSearcher:
                 pdf = pdf.sort_values("doc_ord")
                 ords = pdf["doc_ord"].to_numpy(np.int64)
                 base, n_rows = int(ords[0]), len(ords)
-                if int(ords[-1]) - base + 1 != n_rows:  # not assert: -O
+                span = int(ords[-1]) - base + 1
+                if len(np.unique(ords)) != n_rows:  # not assert: -O
                     raise ValueError(
-                        f"segment {key[0]} doc_ord range not dense "
-                        f"({base}..{int(ords[-1])} over {n_rows} rows) — "
+                        f"segment {key[0]} has duplicate doc ordinals — "
                         "packed norms would misalign"
                     )
                 # SEGMENT-LOCAL dictionaries: codes only need to be
@@ -600,16 +635,27 @@ class IndexSearcher:
                         "these are bounded categoricals by schema; widen the "
                         "code dtype if that ever changes"
                     )
+                dl = pdf["dl"].to_numpy(np.int32)
+                r_codes = (rc + 1).astype("<i2")
+                t_codes = (tc + 1).astype("<i2")
+                if span != n_rows:
+                    # expunged holes (index/merge.py): densify over the
+                    # span — holes get dl 0 / code 0 (null) and are never
+                    # read, since expunged docs left the posting lists
+                    pos = ords - base
+                    d = np.zeros(span, dtype=np.int32); d[pos] = dl
+                    r = np.zeros(span, dtype="<i2"); r[pos] = r_codes
+                    t = np.zeros(span, dtype="<i2"); t[pos] = t_codes
+                    dl, r_codes, t_codes = d, r, t
                 return pd.DataFrame(
                     [
                         {
                             "seg": int(key[0]),
                             "base": base,
                             "n_docs": n_rows,
-                            "dl_bytes": pdf["dl"].to_numpy(np.int32)
-                            .astype("<i4").tobytes(),
-                            "role_bytes": (rc + 1).astype("<i2").tobytes(),
-                            "tool_bytes": (tc + 1).astype("<i2").tobytes(),
+                            "dl_bytes": dl.astype("<i4").tobytes(),
+                            "role_bytes": r_codes.tobytes(),
+                            "tool_bytes": t_codes.tobytes(),
                             "role_dict": [str(v) for v in r_uniq],
                             "tool_dict": [str(v) for v in t_uniq],
                         }
@@ -626,6 +672,14 @@ class IndexSearcher:
                 # cogroup into 1-2 tasks; a user-specified repartition is
                 # AQE-exempt and keeps the scoring stage n-wide
                 .repartition(n, "seg")
+                # snapshot token: Spark's CacheManager serves a cached
+                # plan to any LATER plan with the same result — two
+                # searchers open over one index across an append/merge
+                # would silently share ONE doc-side cache (the older
+                # snapshot's), dropping the newer searcher's segments.
+                # A per-searcher literal makes the plans distinct; the
+                # scoring kernels read columns by name and ignore it.
+                .withColumn("_snap", F.lit(self._snapshot_token))
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
         return self._doc_side_df

@@ -93,7 +93,11 @@ def append_batch(
     if vdir is None:
         raise FileNotFoundError(f"no published index in {index_dir}")
     manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
-    n_before = int(manifest["n_docs"])
+    # ordinal base: one past the highest ordinal EVER allocated — after an
+    # expunging merge (index/merge.py) live rows < ordinal span, and
+    # allocating from the live count would collide with surviving docs
+    n_before = int(manifest.get("next_ord", manifest["n_docs"]))
+    live_before = int(manifest["n_docs"])
     n_buckets = int(manifest["n_buckets"])
     with_positions = bool(manifest["with_positions"])
     # analyzer symmetry: appends to a suggest-analyzed index must tokenize
@@ -136,7 +140,7 @@ def append_batch(
                 "compact the index (rebuild_compacted) before attaching a "
                 "new stream."
             )
-        if int(manifest["n_docs"]) >= int(ck["doc_ord_range"][1]):
+        if n_before >= int(ck["doc_ord_range"][1]):
             return {
                 "appended": int(ck["appended"]),
                 "n_docs": int(manifest["n_docs"]),
@@ -221,6 +225,7 @@ def append_batch(
         {
             "term_stats_dir": ts_dir,
             "n_docs": int(stats["n"]),
+            "next_ord": n_total,
             "total_tokens": int(stats["tot"] or 0),
             "avgdl": float(stats["avg"] or 0.0),
         }
@@ -243,8 +248,10 @@ def append_batch(
         for d in os.listdir(vdir):
             if (d == "term_stats" or d.startswith("term_stats_b")) and d not in keep:
                 shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
-    assert int(stats["n"]) == n_total, "doc_stats count drifted from ordinals"
-    return {"appended": m, "n_docs": n_total, "batch": bid}
+    assert int(stats["n"]) == live_before + m, (
+        "doc_stats count drifted from ordinals"
+    )
+    return {"appended": m, "n_docs": live_before + m, "batch": bid}
 
 
 def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int, bid: int) -> str:

@@ -197,6 +197,7 @@ def test_no_unbounded_topandas_in_package():
     allowed = {
         # file -> (max occurrences, why they are bounded)
         "query/engine.py": (3, "auto-dispatch returns: k-row top-k/suggest results"),
+        "query/dsl.py": (1, "fast-path dispatch return: k-row top-k result"),
         "oracle.py": (1, "rank-identity test referee, driver-side by design"),
         "ops/similarity.py": (1, ".limit(sample)-bounded IVF centroid training"),
     }
