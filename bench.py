@@ -320,6 +320,60 @@ def main() -> None:
             shuge.close()
             shutil.rmtree(huge_dir, ignore_errors=True)
 
+        # ---- 7. segment churn + tiered merge ------------------------------
+        # The 10^12-turn serving story: a streaming pipeline appends one
+        # segment per micro-batch, so segment count — and with it posting
+        # chunks per term, packed-norms rows, and cogroup tasks — grows
+        # without bound until merged. This measures warm distributed top-k
+        # over a micro-batch-fragmented index, then after
+        # force_merge(expunge): latency must recover toward the monolithic
+        # shape and tombstones must leave the index.
+        from es_indexer_spark.index.merge import batch_infos, force_merge
+        from es_indexer_spark.streaming.incremental import (
+            append_batch, delete_where,
+        )
+        from pyspark.sql import functions as Fq
+
+        frag_dir = tempfile.mkdtemp(prefix="bench_frag_")
+        n_frag_convs = int(os.environ.get("SPARK_GRAFT_FRAG_CONVS", "20000"))
+        base_frac, n_appends = 0.2, 16
+        allc = synth_transcripts(spark, n_convs=n_frag_convs,
+                                 turns_per_conv=5, seed=7)
+        keyn = Fq.col("conv_id").substr(5, 8).cast("long")
+        cut0 = int(n_frag_convs * base_frac)
+        build_index(spark, allc.filter(keyn < cut0), frag_dir,
+                    n_buckets=64, input_sorted=True)
+        step = (n_frag_convs - cut0) // n_appends
+        t0 = time.time()
+        for i in range(n_appends):
+            lo = cut0 + i * step
+            hi = n_frag_convs if i == n_appends - 1 else lo + step
+            append_batch(spark, allc.filter((keyn >= lo) & (keyn < hi)), frag_dir)
+        queries["churn_appends"] = round(time.time() - t0, 3)
+        delete_where(spark, frag_dir, keyn % 7 == 0)
+
+        def _warm_p50(idx_dir):
+            s = IndexSearcher(spark, idx_dir)
+            s.search_df(["the"], k=10).collect()  # cold doc-side build
+            lats = []
+            for terms, mode in ((["the"], "or"), ([str(v[5]), str(v[9])], "and")):
+                for _ in range(5):
+                    t0 = time.time()
+                    s.search_df(terms, k=10, mode=mode).collect()
+                    lats.append(time.time() - t0)
+            s.close()
+            return float(np.median(lats))
+
+        out["frag_segments"] = len(batch_infos(
+            IndexSearcher(spark, frag_dir).vdir))
+        queries["q_fragmented_topk"] = round(_warm_p50(frag_dir), 4)
+        t0 = time.time()
+        mres = force_merge(spark, frag_dir, max_segments=1, expunge=True)
+        queries["segment_merge"] = round(time.time() - t0, 3)
+        out["merge_docs_expunged"] = mres["docs_expunged"]
+        queries["q_merged_topk"] = round(_warm_p50(frag_dir), 4)
+        shutil.rmtree(frag_dir, ignore_errors=True)
+
     out.update(
         {
             "metric": "index_build_plus_query_suite_wall",

@@ -282,8 +282,11 @@ def _next_merge_bid(vdir: str) -> int:
                         ids.append(int(f[len(pref):-5]))
                     except ValueError:
                         pass
-    nxt = max(ids) + 1
     from ..streaming.incremental import EPOCH_BID_BASE
+    # epoch-derived ids (EPOCH_BID_BASE + epoch) live in their own space;
+    # merges allocate from the manual space like manual appends do
+    manual = [i for i in ids if i < EPOCH_BID_BASE]
+    nxt = max(manual) + 1
     if nxt >= EPOCH_BID_BASE:
         raise RuntimeError(
             "manual batch ids exhausted; run rebuild_compacted to reset")
@@ -296,6 +299,11 @@ def _finalize_stats(spark: SparkSession, vdir: str, manifest: dict, bid: int) ->
     postings), with the same current+previous dictionary retention."""
     from ..streaming.incremental import _rebuild_term_stats
 
+    # single-writer per index is the operating assumption (as in the
+    # reference's one-indexer-per-alias deployment), but re-reading the
+    # manifest here keeps an interleaved append's next_ord/n_docs bump
+    # from being clobbered by the caller's stale copy
+    manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
     stats = (
         spark.read.parquet(os.path.join(vdir, "doc_stats"))
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"),

@@ -214,7 +214,12 @@ def append_batch(
         .collect()[0]
     )
     prev_ts_dir = manifest.get("term_stats_dir", "term_stats")
-    ts_dir = _rebuild_term_stats(spark, vdir, n_buckets, bid)
+    # incremental dictionary: new batch aggregates merged into the
+    # previous dictionary — O(vocab + batch), not O(all postings)
+    ts_dir = _update_term_stats(
+        spark, vdir, n_buckets, bid, prev_ts_dir,
+        os.path.join(postings_root, f"batch={bid}"),
+    )
     # checkpoint BEFORE the manifest flip (see the replay guard above)
     catalog.write_json(
         ck_path,
@@ -254,6 +259,65 @@ def append_batch(
     return {"appended": m, "n_docs": live_before + m, "batch": bid}
 
 
+def _term_stats_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("term").agg(
+        F.sum("df_chunk").alias("df"),
+        F.sum("sum_tf").alias("total_tf"),
+        F.count("*").alias("n_chunks"),
+        F.max(F.array_max("block_max_tf")).alias("max_tf"),
+    )
+
+
+def _write_term_stats(df: DataFrame, vdir: str, n_buckets: int, bid: int) -> str:
+    from ..index.build import term_bucket_col, term_len_col
+
+    name = f"term_stats_b{bid:05d}"
+    (
+        df.withColumn("tbucket", term_bucket_col(n_buckets))
+        .withColumn("tlen", term_len_col())
+        .repartitionByRange(max(1, n_buckets // 16), "tlen", "term")
+        .sortWithinPartitions("tlen", "term")
+        .write.mode("overwrite")
+        .partitionBy("tlen")
+        .parquet(os.path.join(vdir, name))
+    )
+    return name
+
+
+def _update_term_stats(
+    spark: SparkSession, vdir: str, n_buckets: int, bid: int,
+    prev_dir: str, delta_dir: str,
+) -> str:
+    """Incremental dictionary publish for appends: aggregate ONLY the new
+    batch's postings and merge with the previous dictionary — every stat
+    is associative (df/total_tf/n_chunks are sums over chunks, max_tf is
+    a max), so the result is bit-equal to a full re-aggregation while the
+    cost drops from O(all postings ever) to O(vocab + batch). At 10^12
+    turns a full-corpus dictionary pass per micro-batch would dwarf the
+    append itself (Lucene pays O(segment dictionary) per flush for the
+    same reason). Replay-safe: append_batch's committed-epoch early
+    return fires before this, and a replay of an UNcommitted epoch reads
+    the previous dictionary (the manifest never flipped), so the delta is
+    counted exactly once. Merges/compactions still use the full
+    ``_rebuild_term_stats`` (postings shrink; subtraction is not
+    associative)."""
+    prev = spark.read.parquet(os.path.join(vdir, prev_dir)).select(
+        "term", "df", "total_tf", "n_chunks", "max_tf"
+    )
+    delta = _term_stats_agg(spark.read.parquet(delta_dir))
+    merged = (
+        prev.unionByName(delta.select("term", "df", "total_tf", "n_chunks", "max_tf"))
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("total_tf").alias("total_tf"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.max("max_tf").alias("max_tf"),
+        )
+    )
+    return _write_term_stats(merged, vdir, n_buckets, bid)
+
+
 def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int, bid: int) -> str:
     """Recompute the term dictionary into a NEW versioned directory and
     return its name (recorded in the manifest as ``term_stats_dir``).
@@ -263,27 +327,8 @@ def _rebuild_term_stats(spark: SparkSession, vdir: str, n_buckets: int, bid: int
     than current+previous, so snapshots stay valid for ONE subsequent
     append (refresh() within that horizon, Iceberg-expiry style) and
     disk growth is bounded at two dictionary copies."""
-    from ..index.build import term_bucket_col, term_len_col
-
     postings = spark.read.parquet(os.path.join(vdir, "postings"))
-    name = f"term_stats_b{bid:05d}"
-    (
-        postings.groupBy("term")
-        .agg(
-            F.sum("df_chunk").alias("df"),
-            F.sum("sum_tf").alias("total_tf"),
-            F.count("*").alias("n_chunks"),
-            F.max(F.array_max("block_max_tf")).alias("max_tf"),
-        )
-        .withColumn("tbucket", term_bucket_col(n_buckets))
-        .withColumn("tlen", term_len_col())
-        .repartitionByRange(max(1, n_buckets // 16), "tlen", "term")
-        .sortWithinPartitions("tlen", "term")
-        .write.mode("overwrite")
-        .partitionBy("tlen")
-        .parquet(os.path.join(vdir, name))
-    )
-    return name
+    return _write_term_stats(_term_stats_agg(postings), vdir, n_buckets, bid)
 
 
 def incremental_index(

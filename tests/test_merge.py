@@ -304,3 +304,47 @@ def test_unstaged_intentless_garbage_is_discarded(spark, tmp_path):
     open(os.path.join(orphan, "junk"), "w").write("x")
     recover_merges(spark, idx)
     assert not os.path.isdir(os.path.join(vdir, "merge_staging"))
+
+
+def test_merge_of_epoch_batches_then_stream_continues(spark, tmp_path):
+    """Merging a stream's micro-batch segments must not break the stream:
+    epoch ids keep their own space (merge allocates manual bids), replay
+    guards survive (checkpoints outlive the merged-away dirs), and later
+    epochs append on top of the merged segment."""
+    from es_indexer_spark.streaming.incremental import incremental_index
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    _corpus(spark, 20, 26).coalesce(1).write.parquet(os.path.join(src, "drop1"))
+    _corpus(spark, 26, 32).coalesce(1).write.parquet(os.path.join(src, "drop2"))
+    stream = (
+        spark.readStream.schema(_corpus(spark, 0, 1).schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    incremental_index(stream, idx, ckpt).awaitTermination(120)
+    vdir = IndexSearcher(spark, idx).vdir
+    assert len(_batch_dirs(vdir)) >= 3  # base + >=2 epoch batches
+
+    res = merge_segments(spark, idx, min_inputs=2)
+    assert res["batches_merged"] >= 2
+
+    # stream more data through the SAME checkpoint
+    _corpus(spark, 32, 38).coalesce(1).write.parquet(os.path.join(src, "drop3"))
+    stream2 = (
+        spark.readStream.schema(_corpus(spark, 0, 1).schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    incremental_index(stream2, idx, ckpt).awaitTermination(120)
+
+    s = IndexSearcher(spark, idx)
+    assert s.n_docs == 38 * 4
+    got = s.search(["baco"], k=1000)
+    assert (got["conv_id"] >= "conv00000032").any()
+    s.close()

@@ -482,3 +482,27 @@ def test_distributed_path_snapshot_isolation_under_append(spark, tmp_path):
     assert ga["score"].tolist() == pytest.approx(gb["score"].tolist())
     s_new.close()
     ref.close()
+
+
+def test_incremental_term_stats_equals_full_rebuild(spark, tmp_path):
+    """Appends publish the dictionary incrementally (previous dict + new
+    batch aggregates); every stat is associative, so the result must be
+    EXACTLY the full re-aggregation over all postings."""
+    from es_indexer_spark.streaming.incremental import _rebuild_term_stats
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    for lo, hi in ((20, 26), (26, 30), (30, 41)):
+        append_batch(spark, _corpus(spark, lo, hi), idx)
+    s = IndexSearcher(spark, idx)
+    incr = spark.read.parquet(s.term_stats_path).select(
+        "term", "df", "total_tf", "n_chunks", "max_tf"
+    )
+    full_name = _rebuild_term_stats(spark, s.vdir, 8, 9999)
+    full = spark.read.parquet(os.path.join(s.vdir, full_name)).select(
+        "term", "df", "total_tf", "n_chunks", "max_tf"
+    )
+    a = sorted(map(tuple, incr.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and len(a) > 100
+    s.close()
