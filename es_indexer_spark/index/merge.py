@@ -338,6 +338,14 @@ def _install_and_clean(vdir: str, intent: dict) -> None:
         dst = os.path.join(vdir, sub, f"batch={new_bid}")
         if os.path.isdir(src) and not os.path.isdir(dst):
             os.replace(src, dst)
+        if not os.path.isdir(dst):
+            # staged output vanished before install: removing the victims
+            # now would lose data — refuse; recover_merges discards the
+            # intent on the next pass when nothing was installed
+            raise RuntimeError(
+                f"merge {new_bid}: neither staged nor installed {sub} "
+                f"exists — aborting install, victims untouched"
+            )
     _write_intent(vdir, {**intent, "state": "installed"})
     for vb in intent["victims"]:
         for sub in ("doc_stats", "postings"):
@@ -392,7 +400,12 @@ def recover_merges(spark: SparkSession, index_dir: str) -> int:
             os.path.isdir(os.path.join(vdir, sub, f"batch={new_bid}"))
             for sub in ("doc_stats", "postings")
         )
-        if intent.get("state") == "staged" or installed:
+        staged_ok = all(
+            os.path.isdir(os.path.join(stage, sub))
+            or os.path.isdir(os.path.join(vdir, sub, f"batch={new_bid}"))
+            for sub in ("doc_stats", "postings")
+        )
+        if (intent.get("state") == "staged" and staged_ok) or installed:
             # staged durably (or partially installed): roll FORWARD
             _install_and_clean(vdir, intent)
             manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
@@ -562,8 +575,8 @@ def force_merge(
     out = {"groups": [], "batches_merged": 0, "docs_expunged": 0}
     for i in range(0, len(infos), per):
         chunk = [inf["bid"] for inf in infos[i:i + per]]
-        if len(chunk) < 2:
-            continue
+        # single-batch chunks still go through merge_segments: it rewrites
+        # them only when there are tombstones to expunge, else no-ops
         r = merge_segments(spark, index_dir, bids=chunk, expunge=expunge)
         out["groups"] += r["groups"]
         out["batches_merged"] += r["batches_merged"]

@@ -348,3 +348,23 @@ def test_merge_of_epoch_batches_then_stream_continues(spark, tmp_path):
     got = s.search(["baco"], k=1000)
     assert (got["conv_id"] >= "conv00000032").any()
     s.close()
+
+
+def test_single_batch_expunge_rewrite(spark, tmp_path):
+    """force_merge on a single-batch index with tombstones rewrites that
+    batch in place (expunge without consolidation)."""
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    s = IndexSearcher(spark, idx)
+    victims = [r["doc_id"] for r in s.doc_stats_df()
+               .filter(F.col("turn_idx") == 3).select("doc_id").collect()]
+    s.close()
+    delete_docs(spark, idx, victims)
+    out = force_merge(spark, idx, max_segments=1, expunge=True)
+    assert out["docs_expunged"] == len(victims) > 0
+    s = IndexSearcher(spark, idx)
+    assert len(s.tombstones) == 0
+    assert s.n_docs == 20 * 4 - len(victims)
+    got = s.search(["the"], k=200)
+    assert not (set(got["doc_id"]) & set(victims))
+    s.close()
