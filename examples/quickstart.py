@@ -58,6 +58,17 @@ def main() -> None:
     s2 = IndexSearcher(spark, idx)
     print(f"\nafter stream ingest: {s2.n_docs} turns (+{s2.n_docs - res.n_docs})")
 
+    # 3b. maintenance: delete a slice, then reclaim it with a tiered
+    #     merge (expunge-deletes, no full rebuild; ES _forcemerge shape)
+    from es_indexer_spark.index.merge import force_merge
+    from es_indexer_spark.streaming.incremental import delete_where
+
+    delete_where(spark, idx, "turn_idx = 9")
+    m = force_merge(spark, idx, max_segments=1, expunge=True)
+    s3 = IndexSearcher(spark, idx)
+    print(f"merged {m['batches_merged']} segments, expunged "
+          f"{m['docs_expunged']} deleted turns -> {s3.n_docs} live")
+
     # 4. curation: dedup -> decontaminate -> quality floor -> sample over a
     #    documents-shaped frame derived from the transcripts
     from pyspark.sql import functions as F
