@@ -444,10 +444,24 @@ def build_index(
     ordinals_s = round(time.time() - t_ord, 3)  # counting pass + persist
     if n_segments is None:
         # ~1M docs per segment; always >=1. Segments are the skew-salt
-        # ranges, the resume/lineage partitions, AND the shuffle-key
-        # spreader: key cardinality = n_buckets * n_segments must exceed
-        # task slots comfortably or hash collisions idle whole cores.
-        n_segments = max(1, min(65536, -(-n_docs // 1_000_000)))
+        # ranges, the resume/lineage partitions, the shuffle-key
+        # spreader (key cardinality = n_buckets * n_segments must exceed
+        # task slots comfortably or hash collisions idle whole cores) AND
+        # the query-time scoring parallelism: the distributed top-k
+        # cogroups by seg, so a corpus with fewer segments than cores
+        # serializes its scoring kernels. At 10^12 turns segments >>
+        # cores always holds; the parallelism floor below only matters
+        # for corpora small enough that 1M-doc sizing would leave cores
+        # idle (measured at 2M turns/32 cores: 2 segs -> warm top-k p50
+        # 1.23 s, 8 segs -> 1.10 s, 64 -> 0.88 s; build pays ~15% at 8
+        # segs on the small-vocab synthetic corpus, far less at a
+        # Heaps'-law vocabulary — BENCH_NOTES.md round 5).
+        auto = max(
+            -(-n_docs // 1_000_000),
+            min(spark.sparkContext.defaultParallelism,
+                -(-n_docs // 500_000)),
+        )
+        n_segments = max(1, min(65536, auto))
     n_segments = max(n_segments, n_batches)
     params = {
         "n_buckets": n_buckets,

@@ -338,6 +338,7 @@ def incremental_index(
     trigger: dict | None = None,
     dedup: bool | int = False,
     dead_letter_dir: str | None = None,
+    merge_every: int | None = None,
 ):
     """Structured Streaming driver: any stream of transcript-shaped rows →
     per-micro-batch index append. Exactly-once per epoch: the streaming
@@ -363,7 +364,16 @@ def incremental_index(
     idempotent ``batch=<epoch>`` directory per non-empty epoch) — the
     standard two-sink pattern, at the cost of the source being read by
     both queries; without it bad rows are dropped. Returns the indexing
-    query; the DLQ query (if any) is attached as ``query.dlq_query``."""
+    query; the DLQ query (if any) is attached as ``query.dlq_query``.
+
+    ``merge_every=N`` runs the tiered segment merge (``index/merge.py``)
+    inside the sink after every N committed epochs — the long-running-
+    stream hygiene ES gets from Lucene's background merge scheduler:
+    without it a stream accumulates one segment per micro-batch forever.
+    The merge is crash-safe (intent log) and replay-safe (a replayed
+    epoch returns before the counter increments), and runs on the
+    foreachBatch driver thread between epochs, exactly where Lucene
+    would block an IndexWriter commit."""
     from ..corpus import TRANSCRIPT_SCHEMA
     from ..sources.readers import split_quarantine
 
@@ -397,9 +407,19 @@ def incremental_index(
     # epoch another checkpoint committed (review finding)
     stream_id = os.path.abspath(checkpoint_dir)
 
+    applied = {"n": 0}  # committed (non-replayed) epochs since last merge
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        append_batch(batch_df.sparkSession, batch_df, index_dir,
-                     epoch_id=epoch_id, stream_id=stream_id)
+        out = append_batch(batch_df.sparkSession, batch_df, index_dir,
+                           epoch_id=epoch_id, stream_id=stream_id)
+        if not merge_every or out.get("replayed") or out.get("appended", 0) == 0:
+            return
+        applied["n"] += 1
+        if applied["n"] >= merge_every:
+            from ..index.merge import merge_segments
+
+            merge_segments(batch_df.sparkSession, index_dir)
+            applied["n"] = 0
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

@@ -368,3 +368,34 @@ def test_single_batch_expunge_rewrite(spark, tmp_path):
     got = s.search(["the"], k=200)
     assert not (set(got["doc_id"]) & set(victims))
     s.close()
+
+
+def test_incremental_index_auto_merge(spark, tmp_path):
+    """merge_every=N folds micro-batch segments inside the stream sink —
+    a long-running stream keeps a bounded segment count, with the same
+    corpus and query results."""
+    from es_indexer_spark.streaming.incremental import incremental_index
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 12), idx, n_buckets=8, n_segments=1)
+    srcdir = str(tmp_path / "incoming")
+    os.makedirs(srcdir)
+    for i, (lo, hi) in enumerate(((12, 16), (16, 20), (20, 24), (24, 28),
+                                  (28, 32), (32, 36))):
+        _corpus(spark, lo, hi).coalesce(1).write.parquet(
+            os.path.join(srcdir, f"drop{i}"))
+    stream = (
+        spark.readStream.schema(_corpus(spark, 0, 1).schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcdir)
+    )
+    incremental_index(stream, idx, str(tmp_path / "ckpt"),
+                      merge_every=3).awaitTermination(180)
+    s = IndexSearcher(spark, idx)
+    assert s.n_docs == 36 * 4
+    # 6 epochs with merge_every=3: far fewer than 7 batch dirs remain
+    assert len(_batch_dirs(s.vdir)) <= 4
+    got = s.search(["baco"], k=1000)
+    assert (got["conv_id"] >= "conv00000032").any()
+    s.close()
