@@ -228,6 +228,60 @@ def _ft_fuzzy_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expansion_df(spark, s, s.expand_fuzzy_df(_FUZZY_Q, max_expansions=50))
 
 
+_WILDCARD_Q = "s?a*"  # {scan, small, spark} in the testdata vocabulary
+_REGEXP_Q = "(ba|da)[a-z]+"  # {batch, data}
+
+
+def _ft_wildcard_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard-query term expansion (round 5, query/dsl.py leaf):
+    literal-prefix-pruned term_stats scan + anchored JVM rlike."""
+    s = _index_for(spark, sf_dir)
+    return _expansion_df(spark, s, s.expand_wildcard_df(_WILDCARD_Q, max_expansions=50))
+
+
+def _ft_regexp_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _index_for(spark, sf_dir)
+    return _expansion_df(spark, s, s.expand_regexp_df(_REGEXP_Q, max_expansions=50))
+
+
+def _ft_dsl_wildcard_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard leaf through the DSL in constant-score filter context —
+    matching doc set (any token matching the pattern), order-free."""
+    d = _dsl_for(spark, sf_dir)
+    hits = d.search(
+        {"query": {"constant_score": {
+            "filter": {"wildcard": {"text": {"value": _WILDCARD_Q}}}}},
+         "size": 1_000_000},
+    )
+    out = hits[["conv_id"]].copy()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    return spark.createDataFrame(out[["doc_id"]])
+
+
+def _sql_wildcard_expansion() -> str:
+    return f"""
+with t as ({_sql_term_table()})
+select term, df from t where term like 's_a%'
+order by df desc, term asc limit 50
+"""
+
+
+def _sql_regexp_expansion() -> str:
+    return f"""
+with t as ({_sql_term_table()})
+select term, df from t where regexp_matches(term, '^(ba|da)[a-z]+$')
+order by df desc, term asc limit 50
+"""
+
+
+def _sql_wildcard_hits() -> str:
+    return f"""
+select distinct doc_id::bigint as doc_id
+from (select doc_id, unnest({SQL_TOKENS}) as term from documents)
+where term like 's_a%'
+"""
+
+
 def _sql_term_table() -> str:
     return f"""
   select term, count(distinct doc_id)::bigint as df
@@ -1590,6 +1644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_hits_distributed": _ft_phrase_hits_distributed,
         "ft_prefix_expansion": _ft_prefix_expansion,
         "ft_fuzzy_expansion": _ft_fuzzy_expansion,
+        "ft_wildcard_expansion": _ft_wildcard_expansion,  # new round 5
+        "ft_regexp_expansion": _ft_regexp_expansion,  # new round 5
+        "ft_dsl_wildcard_hits": _ft_dsl_wildcard_hits,  # new round 5
         # -- tier 3: training-pipeline ops (r4-green re-checks) ----------
         "tp_jaccard_pairs": _tp_jaccard_pairs,
         "tp_simhash_pairs": _tp_simhash_pairs,
@@ -1664,6 +1721,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_hits_distributed": _sql_phrase_hits(),
         "ft_prefix_expansion": _sql_prefix_expansion(),
         "ft_fuzzy_expansion": _sql_fuzzy_expansion(),
+        "ft_wildcard_expansion": _sql_wildcard_expansion(),
+        "ft_regexp_expansion": _sql_regexp_expansion(),
+        "ft_dsl_wildcard_hits": _sql_wildcard_hits(),
         "ft_churn_term_df": f"""
             select term, count(distinct doc_id)::bigint as df,
                    count(*)::bigint as total_tf

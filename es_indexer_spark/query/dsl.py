@@ -372,6 +372,51 @@ class DslSearcher:
         docs, sc = self._full_vector(fs, exps) if exps else _empty()
         return (docs, sc * float(b.get("boost", 1.0))) if scored else (docs, np.zeros(len(docs)))
 
+    def _meta_pattern_vec(self, field: str, regex: str, boost: float, scored: bool) -> Vec:
+        """Anchored pattern predicate on a stored/metadata field (the ES
+        wildcard/regexp-on-keyword case): regex over the doc_ord-indexed
+        column, constant score (ES scores these 1.0 x boost)."""
+        import re as _re
+
+        rx = _re.compile(regex)
+        arr = self._meta_array(field)
+        mask = np.array(
+            [v is not None and rx.fullmatch(str(v)) is not None for v in arr],
+            dtype=bool,
+        )
+        return self._mask_to_vec(mask, boost if scored else 0.0)
+
+    def _q_wildcard(self, body, scored) -> Vec:
+        """ES wildcard query. On the text field: dictionary expansion
+        (literal-prefix-pruned) then the usual scored OR over expansions —
+        the scoring_boolean rewrite, consistent with this DSL's prefix and
+        fuzzy leaves (ES's default rewrite is constant_score; the scored
+        form is a superset and rank-stable under it). On metadata fields:
+        anchored pattern predicate, constant score (exact ES behaviour)."""
+        field, b = _field_and_body(body, "wildcard")
+        pattern = str(b.get("value", b.get("wildcard", "")))
+        boost = float(b.get("boost", 1.0))
+        if field in _META_FIELDS:
+            return self._meta_pattern_vec(
+                field, IndexSearcher._wildcard_regex(pattern), boost, scored)
+        fs = self._field_searcher(field)
+        exps = fs.expand_wildcard(pattern)
+        docs, sc = self._full_vector(fs, exps) if exps else _empty()
+        return (docs, sc * boost) if scored else (docs, np.zeros(len(docs)))
+
+    def _q_regexp(self, body, scored) -> Vec:
+        """ES regexp query — same shape as wildcard (see dialect note on
+        IndexSearcher.expand_regexp)."""
+        field, b = _field_and_body(body, "regexp")
+        pattern = str(b.get("value", ""))
+        boost = float(b.get("boost", 1.0))
+        if field in _META_FIELDS:
+            return self._meta_pattern_vec(field, pattern, boost, scored)
+        fs = self._field_searcher(field)
+        exps = fs.expand_regexp(pattern)
+        docs, sc = self._full_vector(fs, exps) if exps else _empty()
+        return (docs, sc * boost) if scored else (docs, np.zeros(len(docs)))
+
     def _q_multi_match(self, body, scored) -> Vec:
         specs = self._mm_specs(body)
         mm_type = body.get("type", "best_fields")
@@ -781,6 +826,25 @@ class DslSearcher:
             fs = self._field_searcher(field)
             exps = fs.expand_fuzzy_df(str(b["value"]))
             return self._scores_or_zero(self._match_df(fs, exps, "or"), scored)
+        if kind in ("wildcard", "regexp"):
+            field, b = _field_and_body(body, kind)
+            pattern = str(b.get("value", b.get(kind, "")))
+            boost = float(b.get("boost", 1.0))
+            regex = (IndexSearcher._wildcard_regex(pattern)
+                     if kind == "wildcard" else pattern)
+            if field in _META_FIELDS:
+                cond = F.col(field).rlike(f"^(?:{regex})$")
+                df = self._meta_vec_df(cond, scored)
+                if scored and boost != 1.0:
+                    df = df.select("doc_ord", (F.col("score") * boost).alias("score"))
+                return df
+            fs = self._field_searcher(field)
+            exps = (fs.expand_wildcard_df(pattern) if kind == "wildcard"
+                    else fs.expand_regexp_df(pattern))
+            df = self._match_df(fs, exps, "or")
+            if scored and boost != 1.0:
+                df = df.select("doc_ord", (F.col("score") * boost).alias("score"))
+            return self._scores_or_zero(df, scored)
         if kind == "multi_match":
             specs = self._mm_specs(body)
             mm_type = body.get("type", "best_fields")

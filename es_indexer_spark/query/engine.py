@@ -472,6 +472,46 @@ class IndexSearcher:
         hits = cand[ok]
         return hits.nlargest(max_expansions, "df")["term"].tolist()
 
+    @staticmethod
+    def _wildcard_regex(pattern: str) -> str:
+        """ES wildcard syntax → regex source: ``*`` any sequence, ``?``
+        one char, everything else literal; anchored by the caller."""
+        import re as _re
+
+        return "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        )
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """ES wildcard-query expansion over the term dictionary (anchored
+        whole-term match). The literal prefix before the first wildcard
+        prunes the sorted dictionary to a range first — the analogue of
+        Lucene seeking the TermsEnum to the pattern's common prefix.
+        Highest-df expansions first (same selection as expand_prefix)."""
+        import re as _re
+
+        lit = _re.match(r"[^*?]*", pattern).group(0)
+        rx = _re.compile(self._wildcard_regex(pattern))
+        d = self.term_dictionary()
+        if lit:
+            terms = d["term"].to_numpy(object)
+            lo = np.searchsorted(terms, lit, side="left")
+            hi = np.searchsorted(terms, lit + "\U0010FFFF", side="right")
+            d = d.iloc[lo:hi]
+        hits = d[d["term"].str.fullmatch(rx)]
+        return hits.nlargest(max_expansions, "df")["term"].tolist()
+
+    def expand_regexp(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """ES regexp-query expansion (anchored whole-term match) against
+        the driver-resident dictionary. Dialect note: patterns execute as
+        Python ``re`` here and as Java regex on the distributed path
+        (``expand_regexp_df``) — stick to the common subset (literals,
+        classes, ``.|*+?()[]``), which also covers Lucene's dialect."""
+        d = self.term_dictionary()
+        hits = d[d["term"].str.fullmatch(pattern)]
+        return hits.nlargest(max_expansions, "df")["term"].tolist()
+
     def suggest(
         self,
         query: str,
@@ -1048,6 +1088,42 @@ class IndexSearcher:
                 & (F.length("term") <= len(term) + d)
                 & (F.levenshtein(F.lit(term), F.col("term")) <= d)
             )
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_wildcard_df(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """Wildcard expansion as a pruned Spark filter over term_stats:
+        the literal prefix pushes as StringStartsWith (plus the tlen
+        length-partition floor), then an anchored JVM ``rlike`` decides —
+        same selection as the driver ``expand_wildcard``."""
+        import re as _re
+
+        from ..index.build import TLEN_CAP
+
+        lit = _re.match(r"[^*?]*", pattern).group(0)
+        td = self._term_stats_sdf()
+        if lit:
+            td = self._tlen_prune(td, min(len(lit), TLEN_CAP), TLEN_CAP)
+            td = td.filter(F.col("term").startswith(lit))
+        rows = (
+            td.filter(F.col("term").rlike(f"^(?:{self._wildcard_regex(pattern)})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_regexp_df(self, pattern: str, max_expansions: int = 50) -> list[str]:
+        """Regexp expansion over term_stats via anchored JVM ``rlike``
+        (see expand_regexp's dialect note)."""
+        rows = (
+            self._term_stats_sdf()
+            .filter(F.col("term").rlike(f"^(?:{pattern})$"))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions)
             .select("term")

@@ -507,3 +507,76 @@ def test_agg_errors(dsl):
     with pytest.raises(EsDslError, match="interval"):
         dsl.aggregate({"aggs": {"x": {"date_histogram": {"field": "ts",
                                                          "calendar_interval": "fortnight"}}}})
+
+
+# ------------------------------------------------------ wildcard / regexp
+
+def test_wildcard_expansion_matches_dictionary(dsl):
+    td = dsl.s.term_dictionary()
+    # pick a real term and wildcard its middle out
+    term = td.nlargest(5, "df")["term"].iloc[-1]
+    pattern = term[0] + "*" + term[-1]
+    import re
+    want = sorted(
+        t for t in td["term"]
+        if re.fullmatch(re.escape(term[0]) + ".*" + re.escape(term[-1]), t)
+    )
+    assert sorted(dsl.s.expand_wildcard(pattern, max_expansions=10_000)) == want
+    assert sorted(dsl.s.expand_wildcard_df(pattern, max_expansions=10_000)) == want
+
+
+def test_wildcard_query_scores_like_expanded_or(dsl):
+    td = dsl.s.term_dictionary()
+    term = td.nlargest(3, "df")["term"].iloc[-1]
+    pattern = term[:2] + "*"
+    exps = dsl.s.expand_wildcard(pattern)
+    assert term in exps
+    got = dsl.search({"wildcard": {"text": {"value": pattern}}}, k=20)
+    want = dsl.s.search(exps, k=20)
+    assert _ids(got) == _ids(want)
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0, atol=0)
+    # distributed parity: same top-k membership and scores
+    import pyspark.sql.functions as F
+    got_df = (dsl.search_df({"wildcard": {"text": {"value": pattern}}}, k=20)
+              .orderBy(F.desc("score"), F.asc("doc_ord")).toPandas())
+    drv = got.sort_values(["score", "doc_ord"], ascending=[False, True])
+    np.testing.assert_allclose(
+        got_df["score"].to_numpy(), drv["score"].to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_regexp_query_and_meta_wildcard(dsl):
+    td = dsl.s.term_dictionary()
+    term = td.nlargest(4, "df")["term"].iloc[-1]
+    pattern = term[:1] + "[a-z]*"
+    exps = dsl.s.expand_regexp(pattern)  # default cap, same as the leaf
+    assert term in exps
+    assert sorted(exps) == sorted(dsl.s.expand_regexp_df(pattern))
+    got = dsl.search({"regexp": {"text": {"value": pattern}}}, k=15)
+    want = dsl.s.search(exps, k=15)
+    assert _ids(got) == _ids(want)
+
+    # wildcard on a METADATA field: constant-score predicate
+    got = dsl.search({"query": {"wildcard": {"role": {"value": "ass*ant"}}},
+                      "size": 10_000})
+    nm = dsl.s._load_norms()
+    assert len(got) == int((nm["role"] == "assistant").sum())
+    assert set(got["score"]) == {1.0}
+    # distributed meta path agrees
+    n_df = dsl.search_df({"wildcard": {"role": {"value": "ass*ant"}}}, k=10_000).count()
+    assert n_df == len(got)
+
+
+def test_wildcard_boost_and_filter_context(dsl):
+    td = dsl.s.term_dictionary()
+    term = td.nlargest(3, "df")["term"].iloc[-1]
+    pattern = term[:2] + "*"
+    plain = dsl.search({"wildcard": {"text": {"value": pattern}}}, k=10)
+    boosted = dsl.search({"wildcard": {"text": {"value": pattern, "boost": 3.0}}}, k=10)
+    np.testing.assert_allclose(boosted["score"], plain["score"] * 3.0, rtol=0, atol=1e-12)
+    # in filter context it contributes no score
+    f = dsl.search({"bool": {"must": [{"match_all": {}}],
+                             "filter": [{"wildcard": {"text": {"value": pattern}}}]}},
+                   k=10_000)
+    assert set(f["score"]) == {1.0}
+    assert set(f["doc_id"]) <= set(
+        dsl.search({"wildcard": {"text": {"value": pattern}}}, k=10_000)["doc_id"])
