@@ -399,3 +399,40 @@ def test_incremental_index_auto_merge(spark, tmp_path):
     got = s.search(["baco"], k=1000)
     assert (got["conv_id"] >= "conv00000032").any()
     s.close()
+
+
+def test_crash_mid_install_recovers(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN the two install renames (doc_stats installed,
+    postings still staged): recovery must finish the install, not discard
+    or double-apply."""
+    import es_indexer_spark.index.merge as M
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 16), idx, n_buckets=8, n_segments=1)
+    append_batch(spark, _corpus(spark, 16, 20), idx)
+    append_batch(spark, _corpus(spark, 20, 24), idx)
+    s0 = IndexSearcher(spark, idx)
+    before = _snapshot(s0)
+    vdir = s0.vdir
+    s0.close()
+
+    calls = {"n": 0}
+    real_replace = os.replace
+
+    def flaky_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between installs")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(M.os, "replace", flaky_replace)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_segments(spark, idx, min_inputs=2)
+    monkeypatch.setattr(M.os, "replace", real_replace)
+
+    n = recover_merges(spark, idx)
+    assert n == 1
+    s1 = IndexSearcher(spark, idx)
+    assert len(_batch_dirs(s1.vdir)) < 3
+    assert _snapshot(s1) == before
+    s1.close()
