@@ -372,6 +372,40 @@ class DslSearcher:
         docs, sc = self._full_vector(fs, exps) if exps else _empty()
         return (docs, sc * float(b.get("boost", 1.0))) if scored else (docs, np.zeros(len(docs)))
 
+    def _q_match_phrase_prefix(self, body, scored) -> Vec:
+        """ES match_phrase_prefix: the last position matches any dictionary
+        term with that prefix (capped expansion), earlier positions are the
+        exact phrase. Scoring: BM25 over the phrase terms + the matched
+        expansions, restricted to phrase-matching docs (ES's scoring here
+        is likewise expansion-dependent; rank parity with ES is not claimed
+        for this leaf, membership is exact)."""
+        field, b = _field_and_body(body, "match_phrase_prefix")
+        fs = self._field_searcher(field)
+        toks = tokenize_py(b["query"])
+        if not toks:
+            return _empty()
+        exps = fs.expand_prefix(toks[-1], int(b.get("max_expansions", 50)))
+        if not exps:
+            return _empty()
+        head = toks[:-1]
+        fs._require_positions(list(dict.fromkeys(head + exps)))
+        hits_all = []
+        for e in exps:
+            terms = head + [e]
+            docs, _ = self._full_vector(fs, terms, "and")
+            if len(terms) > 1 and len(docs):
+                views = {v.term: v for v in fs._views(sorted(set(terms)))}
+                docs = scoring.phrase_docs([views[t] for t in terms], docs)
+            hits_all.append(docs)
+        cand = np.unique(np.concatenate(hits_all)) if hits_all else np.zeros(0, np.int64)
+        if len(cand) == 0:
+            return _empty()
+        docs, sc = self._full_vector(fs, list(dict.fromkeys(head + exps)), "or")
+        keep = np.isin(docs, cand, assume_unique=True)
+        boost = float(b.get("boost", 1.0))
+        docs, sc = docs[keep], sc[keep]
+        return (docs, sc * boost) if scored else (docs, np.zeros(len(docs)))
+
     def _meta_pattern_vec(self, field: str, regex: str, boost: float, scored: bool) -> Vec:
         """Anchored pattern predicate on a stored/metadata field (the ES
         wildcard/regexp-on-keyword case): regex over the doc_ord-indexed
@@ -826,6 +860,27 @@ class DslSearcher:
             fs = self._field_searcher(field)
             exps = fs.expand_fuzzy_df(str(b["value"]))
             return self._scores_or_zero(self._match_df(fs, exps, "or"), scored)
+        if kind == "match_phrase_prefix":
+            field, b = _field_and_body(body, kind)
+            fs = self._field_searcher(field)
+            toks = tokenize_py(b["query"])
+            exps = (fs.expand_prefix_df(toks[-1], int(b.get("max_expansions", 50)))
+                    if toks else [])
+            if not exps:
+                return self.s.spark.createDataFrame([], "doc_ord long, score double")
+            head = toks[:-1]
+            allt = list(dict.fromkeys(head + exps))
+            if not head:  # single-position phrase == prefix OR-group
+                return self._scores_or_zero(self._match_df(fs, exps, "or"), scored)
+            cand = reduce(
+                lambda a, b2: a.unionByName(b2),
+                [self._phrase_vec_df(fs, head + [e]).select("doc_ord") for e in exps],
+            ).distinct()
+            df = self._match_df(fs, allt, "or").join(cand, "doc_ord", "left_semi")
+            boost = float(b.get("boost", 1.0))
+            if scored and boost != 1.0:
+                df = df.select("doc_ord", (F.col("score") * boost).alias("score"))
+            return self._scores_or_zero(df, scored)
         if kind in ("wildcard", "regexp"):
             field, b = _field_and_body(body, kind)
             pattern = str(b.get("value", b.get(kind, "")))

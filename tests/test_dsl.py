@@ -580,3 +580,28 @@ def test_wildcard_boost_and_filter_context(dsl):
     assert set(f["score"]) == {1.0}
     assert set(f["doc_id"]) <= set(
         dsl.search({"wildcard": {"text": {"value": pattern}}}, k=10_000)["doc_id"])
+
+
+def test_match_phrase_prefix(dsl):
+    # take a real adjacent word pair from the corpus
+    row = dsl.s.doc_stats_df().select("text").first()
+    words = [w for w in row["text"].lower().split() if w.isalpha()]
+    w1, w2 = words[0], words[1]
+    body = {"match_phrase_prefix": {"text": {"query": f"{w1} {w2[:2]}"}}}
+    got = dsl.search({"query": body, "size": 10_000})
+    # exact membership: union of phrase hits over every expansion of w2[:2]
+    want = set()
+    for e in dsl.s.expand_prefix(w2[:2]):
+        want |= set(dsl.s.phrase_search(f"{w1} {e}", k=100_000)["doc_id"])
+    assert set(got["doc_id"]) == want and len(want) > 0
+    # distributed parity (membership)
+    import pyspark.sql.functions as F
+    df = dsl.search_df(body, k=100_000).toPandas()
+    nm = dsl.s._load_norms()
+    assert set(nm["doc_id"][df["doc_ord"].to_numpy()]) == want
+    # single-position query degrades to a prefix OR-group
+    one = dsl.search({"query": {"match_phrase_prefix": {"text": {"query": w2[:2]}}},
+                      "size": 10_000})
+    pref = dsl.search({"query": {"prefix": {"text": {"value": w2[:2]}}},
+                       "size": 10_000})
+    assert set(one["doc_id"]) == set(pref["doc_id"])
