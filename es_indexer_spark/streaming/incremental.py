@@ -92,6 +92,14 @@ def append_batch(
     vdir = catalog.current_version_dir(index_dir)
     if vdir is None:
         raise FileNotFoundError(f"no published index in {index_dir}")
+    # finish any merge interrupted mid-commit before mutating further —
+    # appends are the first mutator a restarted stream runs, so this is
+    # the natural recovery hook (Lucene replays its pending segment
+    # commit on IndexWriter open the same way). No-op unless an
+    # unfinished merge intent exists.
+    from ..index.merge import recover_merges
+
+    recover_merges(spark, index_dir)
     manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
     # ordinal base: one past the highest ordinal EVER allocated — after an
     # expunging merge (index/merge.py) live rows < ordinal span, and

@@ -436,3 +436,31 @@ def test_crash_mid_install_recovers(spark, tmp_path, monkeypatch):
     assert len(_batch_dirs(s1.vdir)) < 3
     assert _snapshot(s1) == before
     s1.close()
+
+
+def test_append_recovers_interrupted_merge(spark, tmp_path, monkeypatch):
+    """A restarted pipeline's first append finishes a merge that crashed
+    after staging — no explicit recover_merges call needed."""
+    import es_indexer_spark.index.merge as M
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 16), idx, n_buckets=8, n_segments=1)
+    append_batch(spark, _corpus(spark, 16, 20), idx)
+    append_batch(spark, _corpus(spark, 20, 24), idx)
+    vdir = IndexSearcher(spark, idx).vdir
+
+    monkeypatch.setattr(M, "_install_and_clean",
+                        lambda *a: (_ for _ in ()).throw(RuntimeError("boom")))
+    with pytest.raises(RuntimeError, match="boom"):
+        merge_segments(spark, idx, min_inputs=2)
+    monkeypatch.undo()
+    assert len(_batch_dirs(vdir)) == 3  # crash left victims in place
+
+    append_batch(spark, _corpus(spark, 24, 28), idx)  # recovery hook fires
+    s = IndexSearcher(spark, idx)
+    assert s.n_docs == 28 * 4
+    # merged batch installed AND the new append landed
+    assert len(_batch_dirs(s.vdir)) < 4
+    got = s.search(["baco"], k=1000)
+    assert (got["conv_id"] >= "conv00000024").any()
+    s.close()
