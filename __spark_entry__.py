@@ -182,6 +182,37 @@ def _ft_phrase_hits_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ft_dsl_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix through the DSL (round 5): 'table ha*' — the
+    first position exact, the last any dictionary term with the prefix.
+    Membership is exact; the oracle enumerates bigrams whose second token
+    has the prefix."""
+    from es_indexer_spark.query.dsl import DslSearcher
+
+    s = _pos_searcher(spark, sf_dir)
+    d = DslSearcher(s)
+    hits = d.search(
+        {"query": {"constant_score": {"filter": {
+            "match_phrase_prefix": {"text": {"query": "table ha"}}}}},
+         "size": 1_000_000},
+    )
+    out = hits[["conv_id"]].copy()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    return spark.createDataFrame(out[["doc_id"]])
+
+
+def _sql_phrase_prefix_hits() -> str:
+    return f"""
+with tok as (
+  select doc_id, {SQL_TOKENS} as t from documents
+)
+select distinct doc_id from tok
+where len(t) >= 2 and len(list_filter(
+  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]),
+  bg -> bg like 'table ha%')) > 0
+"""
+
+
 def _sql_phrase_hits() -> str:
     return f"""
 with tok as (
@@ -1642,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_merged_bm25_topk_distributed": _ft_merged_bm25_topk_distributed,  # new round 5
         "ft_phrase_hits": _ft_phrase_hits,
         "ft_phrase_hits_distributed": _ft_phrase_hits_distributed,
+        "ft_dsl_phrase_prefix": _ft_dsl_phrase_prefix,  # new round 5
         "ft_prefix_expansion": _ft_prefix_expansion,
         "ft_fuzzy_expansion": _ft_fuzzy_expansion,
         "ft_wildcard_expansion": _ft_wildcard_expansion,  # new round 5
@@ -1719,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ft_phrase_hits": _sql_phrase_hits(),
         "ft_phrase_hits_distributed": _sql_phrase_hits(),
+        "ft_dsl_phrase_prefix": _sql_phrase_prefix_hits(),
         "ft_prefix_expansion": _sql_prefix_expansion(),
         "ft_fuzzy_expansion": _sql_fuzzy_expansion(),
         "ft_wildcard_expansion": _sql_wildcard_expansion(),
