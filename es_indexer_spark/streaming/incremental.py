@@ -228,11 +228,31 @@ def append_batch(
         spark, vdir, n_buckets, bid, prev_ts_dir,
         os.path.join(postings_root, f"batch={bid}"),
     )
+    # per-batch lineage metrics, same fields as the build checkpoints
+    # (turns tokenized, postings emitted, bytes compressed) — read
+    # streamed from the just-written batch's parquet, O(batch) not
+    # O(index), no driver materialization of the postings themselves
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    bcols = ["df_chunk", "doc_bytes", "tf_bytes"] + (
+        ["pos_bytes"] if with_positions else [])
+    postings_emitted = bytes_compressed = 0
+    for rb in pads.dataset(
+        os.path.join(postings_root, f"batch={bid}"), format="parquet"
+    ).to_batches(columns=bcols):
+        postings_emitted += pc.sum(rb.column("df_chunk")).as_py() or 0
+        for c in bcols[1:]:
+            bytes_compressed += pc.sum(pc.binary_length(rb.column(c))).as_py() or 0
+
     # checkpoint BEFORE the manifest flip (see the replay guard above)
     catalog.write_json(
         ck_path,
         {"batch": bid, "epoch_id": epoch_id, "stream_id": stream_id,
-         "appended": m, "doc_ord_range": [n_before, n_total], "seg": seg_id},
+         "appended": m, "doc_ord_range": [n_before, n_total], "seg": seg_id,
+         "turns_tokenized": m,
+         "postings_emitted": int(postings_emitted),
+         "bytes_compressed": int(bytes_compressed)},
     )
     manifest.update(
         {

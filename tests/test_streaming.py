@@ -506,3 +506,22 @@ def test_incremental_term_stats_equals_full_rebuild(spark, tmp_path):
     b = sorted(map(tuple, full.collect()))
     assert a == b and len(a) > 100
     s.close()
+
+
+def test_append_checkpoint_carries_lineage_metrics(spark, tmp_path):
+    """Append checkpoints record the same lineage metrics as build
+    checkpoints (north-star parity: turns tokenized, postings emitted,
+    bytes compressed per partition/batch)."""
+    from es_indexer_spark.index import catalog
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    append_batch(spark, _corpus(spark, 20, 26), idx)
+    vdir = IndexSearcher(spark, idx).vdir
+    ck = catalog.read_json(os.path.join(vdir, "checkpoints", "append_00001.json"))
+    assert ck["turns_tokenized"] == 6 * 4
+    assert ck["postings_emitted"] > 0
+    assert ck["bytes_compressed"] > 0
+    # postings_emitted is the batch's total term-doc incidences: bounded
+    # above by total tokens, below by docs (every doc has >=1 term)
+    assert 6 * 4 <= ck["postings_emitted"]
