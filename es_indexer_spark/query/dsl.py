@@ -475,6 +475,39 @@ class DslSearcher:
             docs, sc = reduce(_or2, per_field)
         return (docs, sc) if scored else (docs, np.zeros(len(docs)))
 
+    def _q_dis_max(self, body, scored) -> Vec:
+        """ES dis_max: per doc, the best clause's score plus tie_breaker
+        times the rest (max + tie * (sum - max))."""
+        clauses = body.get("queries")
+        if not isinstance(clauses, list) or not clauses:
+            raise EsDslError("dis_max needs a non-empty queries list")
+        tie = float(body.get("tie_breaker", 0.0))
+        vecs = [self._eval(c, scored) for c in clauses]
+        docs = vecs[0][0]
+        for v in vecs[1:]:
+            docs = np.union1d(docs, v[0])
+        if not scored or len(docs) == 0:
+            return docs, np.zeros(len(docs))
+        best = np.zeros(len(docs))
+        tot = np.zeros(len(docs))
+        for d, s in vecs:
+            ix = np.searchsorted(docs, d)
+            np.maximum.at(best, ix, s)
+            tot[ix] += s
+        return docs, best + tie * (tot - best)
+
+    def _q_boosting(self, body, scored) -> Vec:
+        """ES boosting: positive clause's matches; docs also matching the
+        negative clause keep their score scaled by negative_boost."""
+        pos = self._eval(body["positive"], scored)
+        neg_docs = self._eval(body["negative"], False)[0]
+        nb = float(body.get("negative_boost", 0.5))
+        docs, sc = pos
+        if scored and len(docs):
+            hit = np.isin(docs, neg_docs, assume_unique=True)
+            sc = np.where(hit, sc * nb, sc)
+        return docs, sc
+
     def _q_constant_score(self, body, scored) -> Vec:
         docs, _ = self._eval(body["filter"], scored=False)
         return docs, np.full(len(docs), float(body.get("boost", 1.0)) if scored else 0.0)
@@ -860,6 +893,32 @@ class DslSearcher:
             fs = self._field_searcher(field)
             exps = fs.expand_fuzzy_df(str(b["value"]))
             return self._scores_or_zero(self._match_df(fs, exps, "or"), scored)
+        if kind == "dis_max":
+            clauses = body.get("queries")
+            if not isinstance(clauses, list) or not clauses:
+                raise EsDslError("dis_max needs a non-empty queries list")
+            tie = float(body.get("tie_breaker", 0.0))
+            parts = [self._eval_df(c, scored) for c in clauses]
+            u = reduce(lambda a, b2: a.unionByName(b2), parts)
+            if not scored:
+                return u.select("doc_ord").distinct().withColumn(
+                    "score", F.lit(0.0))
+            agg = u.groupBy("doc_ord").agg(
+                F.max("score").alias("best"), F.sum("score").alias("tot"))
+            return agg.select(
+                "doc_ord",
+                (F.col("best") + F.lit(tie) * (F.col("tot") - F.col("best"))
+                 ).alias("score"))
+        if kind == "boosting":
+            pos = self._eval_df(body["positive"], scored)
+            neg = self._eval_df(body["negative"], False).select("doc_ord")
+            nb = float(body.get("negative_boost", 0.5))
+            if not scored:
+                return pos
+            hit = pos.join(neg, "doc_ord", "left_semi").select(
+                "doc_ord", (F.col("score") * nb).alias("score"))
+            miss = pos.join(neg, "doc_ord", "left_anti")
+            return miss.unionByName(hit)
         if kind == "match_phrase_prefix":
             field, b = _field_and_body(body, kind)
             fs = self._field_searcher(field)

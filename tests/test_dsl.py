@@ -605,3 +605,40 @@ def test_match_phrase_prefix(dsl):
     pref = dsl.search({"query": {"prefix": {"text": {"value": w2[:2]}}},
                        "size": 10_000})
     assert set(one["doc_id"]) == set(pref["doc_id"])
+
+
+def test_dis_max_and_boosting(dsl):
+    a = dsl.search({"match": {"text": "baco"}}, k=10_000)
+    b = dsl.search({"match": {"text": "cora"}}, k=10_000)
+    sa = dict(zip(a["doc_ord"], a["score"]))
+    sb = dict(zip(b["doc_ord"], b["score"]))
+    got = dsl.search({"query": {"dis_max": {
+        "queries": [{"match": {"text": "baco"}}, {"match": {"text": "cora"}}],
+        "tie_breaker": 0.3}}, "size": 10_000})
+    assert set(got["doc_ord"]) == set(sa) | set(sb)
+    for d, s in zip(got["doc_ord"], got["score"]):
+        x, y = sa.get(d, 0.0), sb.get(d, 0.0)
+        assert s == pytest.approx(max(x, y) + 0.3 * (min(x, y)), abs=1e-12)
+
+    boo = dsl.search({"query": {"boosting": {
+        "positive": {"match": {"text": "baco"}},
+        "negative": {"term": {"role": "system"}},
+        "negative_boost": 0.25}}, "size": 10_000})
+    assert set(boo["doc_ord"]) == set(sa)
+    for d, s, r in zip(boo["doc_ord"], boo["score"], boo["role"]):
+        want = sa[d] * (0.25 if r == "system" else 1.0)
+        assert s == pytest.approx(want, abs=1e-12)
+
+    # distributed parity on scores
+    import pyspark.sql.functions as F
+    for body in (
+        {"dis_max": {"queries": [{"match": {"text": "baco"}},
+                                 {"match": {"text": "cora"}}], "tie_breaker": 0.3}},
+        {"boosting": {"positive": {"match": {"text": "baco"}},
+                      "negative": {"term": {"role": "system"}},
+                      "negative_boost": 0.25}},
+    ):
+        drv = dsl._eval(body, True)
+        dist = (dsl._eval_df(body, True).orderBy("doc_ord").toPandas())
+        np.testing.assert_array_equal(dist["doc_ord"].to_numpy(), drv[0])
+        np.testing.assert_allclose(dist["score"].to_numpy(), drv[1], rtol=0, atol=1e-9)
