@@ -571,26 +571,32 @@ def build_index(
         enc.write.mode("overwrite").partitionBy("tbucket").parquet(batch_path)
 
         # lineage + metrics per segment, from the data actually written —
-        # a driver-side pyarrow pass over the batch (columnar, no Spark job)
+        # a driver-side pyarrow pass over the batch (columnar, no Spark
+        # job). Streamed per record batch with pc.binary_length: the old
+        # to_table + pandas .str.len() materialized every encoded posting
+        # byte in driver memory (O(index bytes) resident at 10M-doc
+        # builds — guide §5)
+        import pyarrow.compute as _pc
         import pyarrow.dataset as _pads
 
-        wt = _pads.dataset(batch_path, partitioning="hive").to_table(
-            columns=["seg", "df_chunk", "doc_bytes", "tf_bytes"]
-            + (["pos_bytes"] if with_positions else [])
-        )
-        enc_bytes = (
-            pd.Series(wt["doc_bytes"].to_pandas()).str.len()
-            + pd.Series(wt["tf_bytes"].to_pandas()).str.len()
-        )
-        if with_positions:
-            enc_bytes = enc_bytes + pd.Series(wt["pos_bytes"].to_pandas()).str.len()
-        wpdf = pd.DataFrame(
-            {
-                "seg": wt["seg"].to_numpy(zero_copy_only=False),
-                "postings": wt["df_chunk"].to_numpy(zero_copy_only=False),
-                "bytes": enc_bytes,
-            }
-        )
+        bin_cols = ["doc_bytes", "tf_bytes"] + (
+            ["pos_bytes"] if with_positions else [])
+        parts: list[pd.DataFrame] = []
+        for rb in _pads.dataset(batch_path, partitioning="hive").to_batches(
+            columns=["seg", "df_chunk"] + bin_cols
+        ):
+            nb = np.zeros(rb.num_rows, dtype=np.int64)
+            for c in bin_cols:
+                nb += _pc.binary_length(rb.column(c)).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            parts.append(pd.DataFrame({
+                "seg": rb.column("seg").to_numpy(zero_copy_only=False),
+                "postings": rb.column("df_chunk").to_numpy(
+                    zero_copy_only=False),
+                "bytes": nb,
+            }))
+        wpdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            {"seg": [], "postings": [], "bytes": []})
         agg = wpdf.groupby("seg").agg(
             chunks=("postings", "size"), postings=("postings", "sum"),
             bytes=("bytes", "sum"),
@@ -635,7 +641,12 @@ def build_index(
             )
             .withColumn("tbucket", term_bucket_col(n_buckets))
             .withColumn("tlen", term_len_col())
-            .repartitionByRange(max(1, n_buckets // 16), "tlen", "term")
+            # hash, not repartitionByRange: the range partitioner's
+            # sampling pass re-evaluates the whole dictionary aggregation
+            # (a second full postings scan per build — guide §2.4);
+            # hashing on tlen alone keeps one term-sorted file per length
+            # dir, so tlen + row-group pruning are unchanged
+            .repartition(max(1, n_buckets // 16), "tlen")
             .sortWithinPartitions("tlen", "term")
             .write.mode("overwrite")
             .partitionBy("tlen")

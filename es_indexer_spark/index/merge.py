@@ -306,17 +306,20 @@ def _finalize_stats(spark: SparkSession, vdir: str, manifest: dict, bid: int) ->
     manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
     stats = (
         spark.read.parquet(os.path.join(vdir, "doc_stats"))
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"),
-             F.avg("dl").alias("avg"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
         .collect()[0]
     )
     prev_ts_dir = manifest.get("term_stats_dir", "term_stats")
     ts_dir = _rebuild_term_stats(spark, vdir, int(manifest["n_buckets"]), bid)
+    n_live, tot = int(stats["n"]), int(stats["tot"] or 0)
     manifest.update({
         "term_stats_dir": ts_dir,
-        "n_docs": int(stats["n"]),
-        "total_tokens": int(stats["tot"] or 0),
-        "avgdl": float(stats["avg"] or 0.0),
+        "n_docs": n_live,
+        "total_tokens": tot,
+        # avgdl = total/n exactly as build_index and append_batch compute
+        # it (one exact-integer sum, one double divide) — F.avg's
+        # double-accumulation order could drift in the last ulp
+        "avgdl": (tot / n_live) if n_live else 0.0,
     })
     catalog.write_json(os.path.join(vdir, "manifest.json"), manifest)
     if prev_ts_dir != ts_dir:
@@ -474,7 +477,18 @@ def merge_segments(
         victims = [i["bid"] for i in group]
         lo = min(i["min_ord"] for i in group)
         hi = max(i["max_ord"] for i in group)
-        tombs_in = tombs[(tombs >= lo) & (tombs <= hi)] if len(tombs) else tombs
+        # expunge set = union of each VICTIM batch's own ordinal range,
+        # never the overall [lo, hi] span: an explicit non-contiguous
+        # ``bids`` group spans unmerged batches in between, and removing
+        # their tombstones while leaving their postings un-rewritten
+        # would silently resurrect deleted docs (review finding)
+        if len(tombs):
+            in_any = np.zeros(len(tombs), dtype=bool)
+            for i in group:
+                in_any |= (tombs >= i["min_ord"]) & (tombs <= i["max_ord"])
+            tombs_in = tombs[in_any]
+        else:
+            tombs_in = tombs
         do_expunge = expunge and len(tombs_in) > 0
         if len(victims) < 2 and not do_expunge:
             continue  # single-batch group with nothing to expunge: no-op
@@ -489,8 +503,15 @@ def merge_segments(
             from ..streaming.incremental import mask_tombstones
             ds = mask_tombstones(ds, tombs_in)
         (
+            # range-partition + sort by doc_ord: the keyless repartition
+            # here round-robined rows, destroying the ordinal clustering
+            # the stored-fields point-read relies on for row-group
+            # pruning (engine.search_df pushes an IN(doc_ord) literal;
+            # guide §6 — sort order on write determines reader skipping),
+            # and paying a hidden sort-before-repartition anyway
             ds.withColumn("seg", F.lit(new_seg).cast("int"))
-            .repartition(max(1, n_par // 2))
+            .repartitionByRange(max(1, n_par // 2), "doc_ord")
+            .sortWithinPartitions("doc_ord")
             .write.mode("overwrite")
             .parquet(os.path.join(stage, "doc_stats"))
         )

@@ -84,10 +84,24 @@ def append_batch(
     checkpoints and be silently dropped as replays (data loss). A
     mismatched stream_id on an existing epoch checkpoint fails loudly
     instead."""
+    import time as _time
+
     from pyspark.sql import types as T
 
     from ..analysis import doc_lengths, suggest_tokens_series
     from ..corpus import with_doc_ids
+
+    # optional per-stage wall clocks (ES_IDX_APPEND_TIMING=1): returned as
+    # result["timings"] so bench_extra can decompose the per-append constant
+    _tm: dict[str, float] = {}
+    _t0 = _time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        if os.environ.get("ES_IDX_APPEND_TIMING"):
+            now = _time.time()
+            _tm[stage] = round(_tm.get(stage, 0.0) + (now - _t0), 3)
+            _t0 = now
 
     vdir = catalog.current_version_dir(index_dir)
     if vdir is None:
@@ -100,6 +114,7 @@ def append_batch(
     from ..index.merge import recover_merges
 
     recover_merges(spark, index_dir)
+    _mark("recover")
     manifest = catalog.read_json(os.path.join(vdir, "manifest.json"))
     # ordinal base: one past the highest ordinal EVER allocated — after an
     # expunging merge (index/merge.py) live rows < ordinal span, and
@@ -157,28 +172,45 @@ def append_batch(
             }
     seg_id = int(manifest["n_segments"]) + bid  # fresh segment label per batch
 
+    # the incoming batch is evaluated exactly ONCE (guide §2.3/§5): the
+    # range-partitioner sampling pass, the ordinal shuffle and the guard
+    # aggregate would otherwise each re-run the source plan — for a
+    # filter over an expensive upstream (a generator, a join) that was
+    # the single largest per-append constant (measured 1.5 s of a 4.0 s
+    # append at bench scale, BENCH_NOTES round 6)
+    from pyspark import StorageLevel
+
+    src = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    m = src.count()
+    if m == 0:
+        src.unpersist()
+        return {"appended": 0, "n_docs": n_before}
+    # ordinal-shuffle width derives from the BATCH size (scale-adaptive,
+    # guide §2): a micro-batch sorts on one partition (repartitionByRange
+    # with numPartitions=1 skips the sampling pass entirely), a bulk
+    # append fans out at ~250k rows/task up to the cluster width
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism,
+                         -(-m // 250_000)))
     # ordinals continue densely after the existing corpus, in stable
     # (conv_id, turn_idx) order within the batch
     batch = (
-        with_doc_ids(df)
-        .repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 4),
-                            "conv_id", "turn_idx")
+        with_doc_ids(src)
+        .repartitionByRange(n_parts, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
     )
     from ..corpus import assign_doc_ordinals
 
     docs = assign_doc_ordinals(batch, assume_sorted=True)
-    m = docs._total_count
+    assert docs._total_count == m, "ordinal count drifted from source count"
+    _mark("ordinals")
     # capture the persisted parent BEFORE rebinding `docs` — withColumn
     # returns a fresh DataFrame without the attribute, and losing the
     # handle leaks one MEMORY_AND_DISK dataset per micro-batch on a
     # long-running stream (review finding)
     parent = getattr(docs, "_persisted_parent", None)
     docs = docs.withColumn("doc_ord", F.col("doc_ord") + F.lit(n_before))
-    if m == 0:
-        if parent is not None:
-            parent.unpersist()
-        return {"appended": 0, "n_docs": n_before}
 
     doc_slice = (
         docs.withColumn("dl", dl_udf("text"))
@@ -191,6 +223,8 @@ def append_batch(
     # idempotent per-epoch append: distinct partition directory, overwrite
     ds_batch = os.path.join(vdir, "doc_stats", f"batch={bid}")
     doc_slice.write.mode("overwrite").parquet(ds_batch)
+    _mark("doc_stats_write")
+    src.unpersist()
     if parent is not None:  # release the ordinal-assignment cache per epoch
         parent.unpersist()
     doc_slice = spark.read.parquet(ds_batch)
@@ -201,10 +235,14 @@ def append_batch(
         n_docs=1, n_segments=1, n_buckets=n_buckets, with_positions=with_positions,
         analyzer=analyzer,
     ).withColumn("seg", F.lit(seg_id))
+    # encode-merge width also derives from the batch size (~1k docs per
+    # merge task): a micro-batch stops fanning into parallelism/2
+    # near-empty writer tasks (each touching up to n_buckets files),
+    # while bulk appends still use the full cluster width
+    n_enc = max(1, min(spark.sparkContext.defaultParallelism // 2,
+                       -(-m // 1_000)))
     enc = (
-        pre.repartition(
-            max(1, spark.sparkContext.defaultParallelism // 2), "tbucket"
-        )
+        pre.repartition(n_enc, "tbucket")
         .sortWithinPartitions("term", "seg", "min_doc")
         .mapInPandas(
             lambda it: (merge_chunks(pdf, with_positions) for pdf in it),
@@ -214,13 +252,25 @@ def append_batch(
     enc.write.mode("overwrite").partitionBy("tbucket").parquet(
         os.path.join(postings_root, f"batch={bid}")
     )
+    _mark("postings_write")
 
-    # recompute global stats + term dictionary, then atomic manifest flip
-    stats = (
-        spark.read.parquet(os.path.join(vdir, "doc_stats"))
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"), F.avg("dl").alias("avg"))
-        .collect()[0]
-    )
+    # global stats update is INCREMENTAL (n/total_tokens are associative
+    # sums; avgdl = total/n exactly as build_index computes it): the
+    # previous full doc_stats aggregate was one O(corpus) Spark job per
+    # micro-batch. The batch's own dl sum (and the m cross-check) come
+    # from the just-written parquet, driver-side columnar, O(batch).
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dl_tbl = pads.dataset(ds_batch, format="parquet").to_table(columns=["dl"])
+    if dl_tbl.num_rows != m:  # write-integrity gate (was: full-count assert)
+        raise RuntimeError(
+            f"doc_stats batch {bid} wrote {dl_tbl.num_rows} rows != {m}"
+        )
+    batch_tokens = int(pc.sum(dl_tbl.column("dl")).as_py() or 0)
+    n_live = live_before + m
+    total_tokens = int(manifest.get("total_tokens", 0)) + batch_tokens
+    _mark("global_stats")
     prev_ts_dir = manifest.get("term_stats_dir", "term_stats")
     # incremental dictionary: new batch aggregates merged into the
     # previous dictionary — O(vocab + batch), not O(all postings)
@@ -228,6 +278,7 @@ def append_batch(
         spark, vdir, n_buckets, bid, prev_ts_dir,
         os.path.join(postings_root, f"batch={bid}"),
     )
+    _mark("term_stats")
     # per-batch lineage metrics, same fields as the build checkpoints
     # (turns tokenized, postings emitted, bytes compressed) — read
     # streamed from the just-written batch's parquet, O(batch) not
@@ -244,6 +295,7 @@ def append_batch(
         postings_emitted += pc.sum(rb.column("df_chunk")).as_py() or 0
         for c in bcols[1:]:
             bytes_compressed += pc.sum(pc.binary_length(rb.column(c))).as_py() or 0
+    _mark("lineage")
 
     # checkpoint BEFORE the manifest flip (see the replay guard above)
     catalog.write_json(
@@ -257,10 +309,10 @@ def append_batch(
     manifest.update(
         {
             "term_stats_dir": ts_dir,
-            "n_docs": int(stats["n"]),
+            "n_docs": n_live,
             "next_ord": n_total,
-            "total_tokens": int(stats["tot"] or 0),
-            "avgdl": float(stats["avg"] or 0.0),
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_live) if n_live else 0.0,
         }
     )
     catalog.write_json(os.path.join(vdir, "manifest.json"), manifest)
@@ -281,10 +333,11 @@ def append_batch(
         for d in os.listdir(vdir):
             if (d == "term_stats" or d.startswith("term_stats_b")) and d not in keep:
                 shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
-    assert int(stats["n"]) == live_before + m, (
-        "doc_stats count drifted from ordinals"
-    )
-    return {"appended": m, "n_docs": live_before + m, "batch": bid}
+    _mark("publish")
+    out = {"appended": m, "n_docs": n_live, "batch": bid}
+    if _tm:
+        out["timings"] = _tm
+    return out
 
 
 def _term_stats_agg(df: DataFrame) -> DataFrame:
@@ -297,18 +350,127 @@ def _term_stats_agg(df: DataFrame) -> DataFrame:
 
 
 def _write_term_stats(df: DataFrame, vdir: str, n_buckets: int, bid: int) -> str:
+    """Write the dictionary hive-partitioned by capped term length,
+    term-sorted within every file. Partitioning is HASH on (tlen, tbucket)
+    — not repartitionByRange: the range partitioner's sampling pass
+    evaluates the whole upstream aggregation a second time (one extra
+    Spark job per publish; for the per-micro-batch incremental merge that
+    doubled the dictionary cost — guide §2.4). hashing on tlen alone keeps ONE
+    term-sorted file per length dir (fewest files to list and re-read on
+    the next publish); tlen partition pruning and row-group min/max term
+    pruning both survive."""
     from ..index.build import term_bucket_col, term_len_col
 
     name = f"term_stats_b{bid:05d}"
     (
         df.withColumn("tbucket", term_bucket_col(n_buckets))
         .withColumn("tlen", term_len_col())
-        .repartitionByRange(max(1, n_buckets // 16), "tlen", "term")
+        .repartition(max(1, n_buckets // 16), "tlen")
         .sortWithinPartitions("tlen", "term")
         .write.mode("overwrite")
         .partitionBy("tlen")
         .parquet(os.path.join(vdir, name))
     )
+    return name
+
+
+# dictionaries at or below this many rows (previous vocab + new batch's
+# chunk rows, both from parquet footer counts) merge DRIVER-side through
+# pyarrow/pandas — the same small-side dispatch as the query engine's
+# driver_max_docs. A micro-batch publish is then ~50 ms of columnar work
+# instead of a multi-stage Spark job over dozens of tiny files (measured
+# ~0.7-1.0 s/append at bench scale); huge vocabularies (Heaps-law growth
+# at 10^12 turns) stay on the distributed path.
+DICT_DRIVER_MAX_ROWS = int(os.environ.get("ES_IDX_DICT_DRIVER_MAX", 2_000_000))
+
+
+def _update_term_stats_local(
+    vdir: str, n_buckets: int, bid: int, prev_dir: str, delta_dir: str,
+) -> str:
+    """Driver-side incremental dictionary merge (below
+    ``DICT_DRIVER_MAX_ROWS``): pyarrow batch aggregation + pandas merge +
+    per-tlen sorted parquet files. Bit-equal to the Spark path (integer
+    sums/maxes; asserted in tests) and writes the identical layout —
+    ``tlen=K`` hive dirs, term-sorted files, same column schema — so
+    readers and the NEXT append (either path) are none the wiser."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from ..index.build import TLEN_CAP, term_bucket
+
+    # delta aggregation over the new batch's posting chunks, columnar
+    parts = []
+    for rb in pads.dataset(delta_dir, partitioning="hive",
+                           format="parquet").to_batches(
+        columns=["term", "df_chunk", "sum_tf", "block_max_tf"]
+    ):
+        bm = rb.column("block_max_tf")
+        # list_flatten/list_value_length instead of raw .offsets/.values:
+        # safe under sliced arrays with non-zero offsets
+        import pyarrow.compute as _pc
+
+        lens = _pc.list_value_length(bm).to_numpy(zero_copy_only=False)
+        vals = _pc.list_flatten(bm).to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        parts.append(pd.DataFrame({
+            "term": rb.column("term").to_numpy(zero_copy_only=False),
+            "df": rb.column("df_chunk").to_numpy(zero_copy_only=False),
+            "total_tf": rb.column("sum_tf").to_numpy(zero_copy_only=False),
+            "max_tf": (np.maximum.reduceat(vals, offs)
+                       if len(vals) else np.zeros(0, np.int32)),
+        }))
+    delta = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {"term": [], "df": [], "total_tf": [], "max_tf": []})
+    delta = delta.groupby("term", sort=False).agg(
+        df=("df", "sum"), total_tf=("total_tf", "sum"),
+        n_chunks=("df", "size"), max_tf=("max_tf", "max"),
+    ).reset_index()
+    # previous dictionary (tbucket already materialized — only genuinely
+    # NEW terms pay the crc32)
+    prev = pads.dataset(
+        os.path.join(vdir, prev_dir), partitioning="hive", format="parquet"
+    ).to_table(
+        columns=["term", "df", "total_tf", "n_chunks", "max_tf", "tbucket"]
+    ).to_pandas()
+    merged = pd.concat(
+        [prev, delta.assign(tbucket=-1)], ignore_index=True
+    ).groupby("term", sort=True).agg(
+        df=("df", "sum"), total_tf=("total_tf", "sum"),
+        n_chunks=("n_chunks", "sum"), max_tf=("max_tf", "max"),
+        tbucket=("tbucket", "max"),  # prev's value wins; -1 = new term
+    ).reset_index()
+    new_mask = merged["tbucket"].to_numpy() < 0
+    if new_mask.any():
+        merged.loc[new_mask, "tbucket"] = [
+            term_bucket(t, n_buckets) for t in merged.loc[new_mask, "term"]
+        ]
+    tlen = merged["term"].str.len().clip(upper=TLEN_CAP).to_numpy(np.int32)
+    schema = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("total_tf", pa.int64()),
+        ("n_chunks", pa.int64()), ("max_tf", pa.int32()),
+        ("tbucket", pa.int32()),
+    ])
+    name = f"term_stats_b{bid:05d}"
+    root = os.path.join(vdir, name)
+    os.makedirs(root, exist_ok=True)
+    for k in np.unique(tlen):
+        sub = merged[tlen == k]  # already term-sorted (groupby sort=True)
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(sub["term"].to_numpy(object), pa.string()),
+                pa.array(sub["df"].to_numpy(np.int64)),
+                pa.array(sub["total_tf"].to_numpy(np.int64)),
+                pa.array(sub["n_chunks"].to_numpy(np.int64)),
+                pa.array(sub["max_tf"].to_numpy(np.int32)),
+                pa.array(sub["tbucket"].to_numpy(np.int32)),
+            ],
+            schema=schema,
+        )
+        d = os.path.join(root, f"tlen={int(k)}")
+        os.makedirs(d, exist_ok=True)
+        papq.write_table(tbl, os.path.join(d, "part-0.parquet"))
     return name
 
 
@@ -328,7 +490,22 @@ def _update_term_stats(
     the previous dictionary (the manifest never flipped), so the delta is
     counted exactly once. Merges/compactions still use the full
     ``_rebuild_term_stats`` (postings shrink; subtraction is not
-    associative)."""
+    associative).
+
+    Size dispatch: small dictionaries (footer row counts, no data read)
+    merge driver-side (``_update_term_stats_local``); large ones run the
+    distributed union+groupBy below."""
+    import pyarrow.dataset as pads
+
+    prev_rows = pads.dataset(
+        os.path.join(vdir, prev_dir), partitioning="hive", format="parquet"
+    ).count_rows()
+    delta_rows = pads.dataset(
+        delta_dir, partitioning="hive", format="parquet"
+    ).count_rows()
+    if prev_rows + delta_rows <= DICT_DRIVER_MAX_ROWS:
+        return _update_term_stats_local(
+            vdir, n_buckets, bid, prev_dir, delta_dir)
     prev = spark.read.parquet(os.path.join(vdir, prev_dir)).select(
         "term", "df", "total_tf", "n_chunks", "max_tf"
     )

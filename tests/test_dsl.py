@@ -495,6 +495,96 @@ def test_nested_bucket_in_bucket(dsl):
             assert tb["doc_count"] == want[tb["key"]]
 
 
+def test_histogram_max_buckets_guard(dsl):
+    # ES search.max_buckets parity: an unboundedly fine histogram raises
+    # instead of collecting unbounded rows onto the driver
+    old = DslSearcher.MAX_BUCKETS
+    dsl.MAX_BUCKETS = 3
+    try:
+        with pytest.raises(EsDslError, match="max_buckets"):
+            dsl.aggregate({"aggs": {
+                "x": {"histogram": {"field": "doc_ord", "interval": 1}}}})
+    finally:
+        dsl.MAX_BUCKETS = old
+    assert DslSearcher.MAX_BUCKETS == 65536  # ES default untouched
+
+
+def test_nested_bucket_subagg_is_one_grouped_job(dsl):
+    # metric-under-bucket and bucket-under-bucket sub-aggs must run as ONE
+    # groupBy(parent, child) job, never one filtered Spark job per parent
+    # bucket (round-5 verdict perf-weak #1)
+    sc = dsl.s.spark.sparkContext
+
+    def run(size: int) -> tuple[dict, int]:
+        gid = f"agg_job_guard_{size}"
+        sc.setJobGroup(gid, "nested agg job-count guard")
+        try:
+            res = dsl.aggregate({"aggs": {
+                "turns": {"terms": {"field": "turn_idx", "size": size},
+                          "aggs": {"roles": {"terms": {"field": "role",
+                                                       "size": 5},
+                                             "aggs": {"mx": {"max": {
+                                                 "field": "dl"}}}}}},
+            }})
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return res, len(sc.statusTracker().getJobIdsForGroup(gid))
+
+    res2, jobs2 = run(2)
+    res, jobs10 = run(10)
+    parents = res["aggregations"]["turns"]["buckets"]
+    assert len(parents) == 6  # 6 turn_idx values in the fixture
+    assert len(res2["aggregations"]["turns"]["buckets"]) == 2
+    # the job count must NOT scale with the parent bucket count (the old
+    # shape ran >=2 filtered jobs per parent; AQE job-splitting makes an
+    # absolute bound fragile, so guard the slope instead)
+    assert jobs10 <= jobs2 + 1, (jobs2, jobs10)
+    # and the grouped results match a per-parent recomputation
+    meta = _live_meta(dsl)
+    dl_by_ord = dsl.s._load_norms()["dl"]
+    meta = meta.assign(dl=dl_by_ord[meta["doc_ord"].to_numpy()])
+    for pb in parents:
+        sub = meta[meta["turn_idx"] == pb["key"]]
+        want = sub["role"].value_counts()
+        for rb in pb["roles"]["buckets"]:
+            assert rb["doc_count"] == want[rb["key"]]
+            assert rb["mx"]["value"] == sub[sub["role"] == rb["key"]]["dl"].max()
+
+
+def test_terms_sum_other_excludes_null_field_docs(dsl):
+    # docs whose bucket field is null are absent from terms aggs in ES —
+    # sum_other must not count them (tool is null off tool turns)
+    res = dsl.aggregate({"aggs": {
+        "tools": {"terms": {"field": "tool", "size": 1}}}})
+    r = res["aggregations"]["tools"]
+    tools = dsl.s._load_norms()["tool"]
+    n_nonnull = int(sum(t is not None for t in tools))
+    assert n_nonnull < dsl.s.n_docs  # fixture has null-tool docs
+    assert r["sum_other_doc_count"] == n_nonnull - r["buckets"][0]["doc_count"]
+
+
+def test_leaf_option_keys_do_not_shadow_field(dsl):
+    # an ES-legal "boost" key in terms/range bodies must not be picked as
+    # the field name regardless of dict order
+    got = dsl.search({"terms": {"boost": 2.0, "role": ["user"]}}, k=5)
+    want = dsl.search({"terms": {"role": ["user"]}}, k=5)
+    assert _ids(got) == _ids(want)
+    got = dsl.search({"range": {"boost": 2.0, "turn_idx": {"gte": 3}}}, k=5)
+    want = dsl.search({"range": {"turn_idx": {"gte": 3}}}, k=5)
+    assert _ids(got) == _ids(want)
+    with pytest.raises(EsDslError, match="exactly one field"):
+        dsl.search({"terms": {"role": ["user"], "tool": ["bash"]}}, k=5)
+
+
+def test_match_all_boost_both_paths(dsl):
+    body = {"match_all": {"boost": 2.5}}
+    drv = dsl.search(body, k=5)
+    dist = dsl.search_df(body, k=5).toPandas()
+    assert (drv["score"] == 2.5).all()
+    assert (dist["score"] == 2.5).all()
+    assert _ids(dist) == _ids(drv)
+
+
 def test_agg_errors(dsl):
     with pytest.raises(EsDslError, match="not aggregatable"):
         dsl.aggregate({"aggs": {"x": {"terms": {"field": "nope"}}}})

@@ -508,6 +508,46 @@ def test_incremental_term_stats_equals_full_rebuild(spark, tmp_path):
     s.close()
 
 
+def test_dict_driver_and_spark_merge_paths_identical(spark, tmp_path, monkeypatch):
+    """The size-dispatched driver-side dictionary merge must be bit-equal
+    to the distributed union+groupBy path AND write an identical layout
+    (tlen hive dirs, same column schema), so either path can follow the
+    other across appends."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from es_indexer_spark.streaming import incremental as inc
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 0, 20), idx, n_buckets=8, n_segments=2)
+    append_batch(spark, _corpus(spark, 20, 26), idx)  # driver path (small)
+    # force the SPARK path for the next append, then a driver-path one
+    monkeypatch.setattr(inc, "DICT_DRIVER_MAX_ROWS", 0)
+    append_batch(spark, _corpus(spark, 26, 33), idx)
+    monkeypatch.setattr(inc, "DICT_DRIVER_MAX_ROWS", 2_000_000)
+    append_batch(spark, _corpus(spark, 33, 41), idx)
+    s = IndexSearcher(spark, idx)
+    # both paths interleaved; final dict == full re-aggregation, exactly
+    from es_indexer_spark.streaming.incremental import _rebuild_term_stats
+    incr = spark.read.parquet(s.term_stats_path).select(
+        "term", "df", "total_tf", "n_chunks", "max_tf")
+    full_name = _rebuild_term_stats(spark, s.vdir, 8, 9999)
+    full = spark.read.parquet(os.path.join(s.vdir, full_name)).select(
+        "term", "df", "total_tf", "n_chunks", "max_tf")
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, full.collect()))
+    # layout parity: hive tlen dirs, schema (names + types) identical
+    ds_incr = pads.dataset(s.term_stats_path, partitioning="hive",
+                           format="parquet")
+    ds_full = pads.dataset(os.path.join(s.vdir, full_name),
+                           partitioning="hive", format="parquet")
+    assert {f.name for f in ds_incr.schema} == {f.name for f in ds_full.schema}
+    for f in ds_full.schema:
+        assert ds_incr.schema.field(f.name).type == f.type, f.name
+    assert glob.glob(os.path.join(s.term_stats_path, "tlen=*"))
+    s.close()
+
+
 def test_append_checkpoint_carries_lineage_metrics(spark, tmp_path):
     """Append checkpoints record the same lineage metrics as build
     checkpoints (north-star parity: turns tokenized, postings emitted,
