@@ -333,20 +333,25 @@ def doc_length_udf(texts: pd.Series) -> pd.Series:
 # --------------------------------------------------------------------------
 
 
-def term_freqs_batch(
+def term_freqs_arrays(
     texts: pd.Series, with_positions: bool = False, analyzer: str = "index"
-) -> pd.DataFrame:
-    """Per-document term frequencies, vectorized over a batch of texts.
+) -> dict:
+    """Per-document term frequencies, vectorized over a batch of texts —
+    ARRAY form (no pandas DataFrame): the index build's hot kernel calls
+    this per Arrow batch, and assembling a DataFrame here cost ~25% of
+    the whole kernel in block consolidation (vstack of the int64
+    columns) plus an O(occurrence-groups) object array of per-group term
+    strings nobody needed (guide §1.2 per-task work).
 
-    Computes tf inside the Arrow batch so the Spark shuffle carries one row
-    per distinct (doc, term) instead of one per token occurrence — the
-    map-side-combine that keeps shuffle volume sane at 10^12 turns.
+    Computes tf inside the Arrow batch so the Spark shuffle carries one
+    row per distinct (doc, term) instead of one per token occurrence —
+    the map-side-combine that keeps shuffle volume sane at 10^12 turns.
 
-    Returns a DataFrame with columns (row <int64 local row index>,
-    term, tcode <int64 batch-local term code — lets callers sort/group on
-    integers instead of strings>, tf <int32>, dl <int32>
-    [, positions list[int32]]).
-    """
+    Returns ``{"row": int64[G], "tcode": int64[G], "tf": int32[G],
+    "dl": int32[G], "uniq_terms": object[V]
+    [, "positions": int32[occ], "pos_splits": int64[G-1]]}`` where
+    ``term[i] == uniq_terms[tcode[i]]`` and groups are sorted by
+    (row, tcode)."""
     if analyzer == "index":
         codes, uniq_terms, lens = tokenize_codes(texts)
     else:
@@ -361,10 +366,13 @@ def term_freqs_batch(
         codes = codes.astype(np.int64)
         uniq_terms = np.asarray(uniq_terms, dtype=object)
     if lens.sum() == 0:
-        cols = {"row": [], "term": [], "tf": [], "dl": []}
+        out = {"row": np.zeros(0, np.int64), "tcode": np.zeros(0, np.int64),
+               "tf": np.zeros(0, np.int32), "dl": np.zeros(0, np.int32),
+               "uniq_terms": np.zeros(0, object)}
         if with_positions:
-            cols["positions"] = []
-        return pd.DataFrame(cols)
+            out["positions"] = np.zeros(0, np.int32)
+            out["pos_splits"] = np.zeros(0, np.int64)
+        return out
     row_ids = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
     # integer-key aggregation: the factorize runs inside Arrow
     # (dictionary_encode) for the index analyzer, then (row, term_code)
@@ -379,27 +387,40 @@ def term_freqs_batch(
         uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
         split = np.cumsum(counts)[:-1]
         tcode = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
-        g = pd.DataFrame(
-            {
-                "row": (uk >> np.int64(32)).astype(np.int64),
-                "term": uniq_terms[tcode],
-                "tcode": tcode,
-                "tf": counts.astype(np.int32),
-                "positions": np.split(spos, split),
-            }
-        )
+        rows = (uk >> np.int64(32)).astype(np.int64)
+        out = {"row": rows, "tcode": tcode, "tf": counts.astype(np.int32),
+               "uniq_terms": uniq_terms, "positions": spos,
+               "pos_splits": split}
     else:
         uk, counts = np.unique(key, return_counts=True)
         tcode = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
-        g = pd.DataFrame(
-            {
-                "row": (uk >> np.int64(32)).astype(np.int64),
-                "term": uniq_terms[tcode],
-                "tcode": tcode,
-                "tf": counts.astype(np.int32),
-            }
-        )
-    g["dl"] = lens[g["row"].to_numpy()].astype(np.int32)
+        rows = (uk >> np.int64(32)).astype(np.int64)
+        out = {"row": rows, "tcode": tcode, "tf": counts.astype(np.int32),
+               "uniq_terms": uniq_terms}
+    out["dl"] = lens[rows].astype(np.int32)
+    return out
+
+
+def term_freqs_batch(
+    texts: pd.Series, with_positions: bool = False, analyzer: str = "index"
+) -> pd.DataFrame:
+    """DataFrame view of ``term_freqs_arrays`` (kept for tests/tools; the
+    build kernel consumes the arrays directly). Columns: (row, term,
+    tcode, tf, dl[, positions])."""
+    a = term_freqs_arrays(texts, with_positions=with_positions,
+                          analyzer=analyzer)
+    cols = {
+        "row": a["row"],
+        "term": a["uniq_terms"][a["tcode"]] if len(a["tcode"])
+        else np.zeros(0, object),
+        "tcode": a["tcode"],
+        "tf": a["tf"],
+    }
+    if with_positions:
+        cols["positions"] = (np.split(a["positions"], a["pos_splits"])
+                             if len(a["tcode"]) else [])
+    g = pd.DataFrame(cols)
+    g["dl"] = a["dl"]
     return g
 
 

@@ -302,34 +302,57 @@ def _tokenize_encode(
     schema = _enc_schema(with_positions)
 
     def gen(batches):
+        from ..analysis import term_freqs_arrays
+
         tm = _phase_timer("tokenize_encode")
         for pdf in batches:
             _t0 = time.perf_counter()
-            g = term_freqs_batch(pdf["text"], with_positions=with_positions,
-                                 analyzer=analyzer)
-            if len(g) == 0:
+            batch_ords = pdf["doc_ord"].to_numpy(np.int64)
+            g = term_freqs_arrays(pdf["text"], with_positions=with_positions,
+                                  analyzer=analyzer)
+            tcodes = g["tcode"]
+            if len(tcodes) == 0:
                 tm.acc += time.perf_counter() - _t0
                 continue
-            ords = pdf["doc_ord"].to_numpy(np.int64)[g["row"].to_numpy(np.int64)]
+            ords = batch_ords[g["row"]]
             segs = np.minimum(ords * n_segments // n_docs, n_segments - 1).astype(np.int32)
             # sort/group on batch-local integer term codes, not strings —
             # group identity is all the encoder needs, and the downstream
-            # shuffle re-sorts by term string anyway
-            tcodes = g["tcode"].to_numpy(np.int64)
-            order = np.lexsort((ords, segs, tcodes))
+            # shuffle re-sorts by term string anyway. Groups arrive
+            # (row, tcode)-sorted, so when the batch's doc_ords ascend
+            # (doc_stats is written ordinal-ordered) a STABLE single-key
+            # sort on tcode already yields ascending ords (and segs, a
+            # monotone function of ord) within every group — one radix
+            # pass instead of the 3-key lexsort; the lexsort stays as the
+            # fallback for unordered input.
+            if np.all(batch_ords[1:] >= batch_ords[:-1]):
+                order = np.argsort(tcodes, kind="stable")
+            else:
+                order = np.lexsort((ords, segs, tcodes))
             tcodes, segs, ords = tcodes[order], segs[order], ords[order]
-            tfs = g["tf"].to_numpy(np.int32)[order]
-            dls = g["dl"].to_numpy(np.int32)[order]
+            tfs = g["tf"][order]
+            dls = g["dl"][order]
             new_g = np.ones(len(tcodes), dtype=bool)
             new_g[1:] = (tcodes[1:] != tcodes[:-1]) | (segs[1:] != segs[:-1])
             gstarts = np.flatnonzero(new_g)
-            terms_g = g["term"].to_numpy(object)[order[gstarts]]
-            lut = {t: term_bucket(t, n_buckets) for t in dict.fromkeys(terms_g)}
-            tbuckets_g = pd.Series(terms_g).map(lut).to_numpy(np.int32)
+            uniq_terms = g["uniq_terms"]
+            gcodes = tcodes[gstarts]
+            terms_g = uniq_terms[gcodes]
+            # bucket per DISTINCT term (vocab-sized python work), gathered
+            # to groups by integer code — never per-group dict lookups
+            buckets_of = np.fromiter(
+                (term_bucket(t, n_buckets) for t in uniq_terms),
+                dtype=np.int32, count=len(uniq_terms),
+            )
+            tbuckets_g = buckets_of[gcodes]
             pos_flat = None
             if with_positions:
-                plists = g["positions"].to_numpy(object)[order]
-                pos_flat = np.concatenate(plists).astype(np.int64)
+                # positions are stored (row, tcode)-group-ordered; gather
+                # whole groups through the sort permutation
+                parts = np.split(g["positions"], g["pos_splits"])
+                plists = np.empty(len(parts), dtype=object)
+                plists[:] = parts
+                pos_flat = np.concatenate(plists[order]).astype(np.int64)
             res = encode_flat(
                 terms_g, segs[gstarts], tbuckets_g, ords, tfs, dls, gstarts,
                 with_positions, pos_flat,
@@ -452,14 +475,18 @@ def build_index(
         # serializes its scoring kernels. At 10^12 turns segments >>
         # cores always holds; the parallelism floor below only matters
         # for corpora small enough that 1M-doc sizing would leave cores
-        # idle (measured at 2M turns/32 cores: 2 segs -> warm top-k p50
-        # 1.23 s, 8 segs -> 1.10 s, 64 -> 0.88 s; build pays ~15% at 8
-        # segs on the small-vocab synthetic corpus, far less at a
-        # Heaps'-law vocabulary — BENCH_NOTES.md round 5).
+        # idle. Round-6 sweeps (BENCH_NOTES): at 2M turns/32 cores 4 segs
+        # -> build 25 s/warm hot 0.79 s; 8 -> 17.7/0.50; 16 -> 12.5/0.48;
+        # 32 -> 18.5/0.54. At 10M turns 20 segs -> 52.3/0.87 vs 32 ->
+        # 57.8/1.01. Both say the sweet spot sits BELOW the core count:
+        # exactly cluster-width segments hash into cluster-width shuffle
+        # partitions with birthday collisions (2-3 segments on one task,
+        # zero on another — straggler kernels), so the floor targets
+        # ~125k docs/segment capped at ~5/8 of the cluster width.
+        par = spark.sparkContext.defaultParallelism
         auto = max(
             -(-n_docs // 1_000_000),
-            min(spark.sparkContext.defaultParallelism,
-                -(-n_docs // 500_000)),
+            min(max(1, (par * 5) // 8), -(-n_docs // 125_000)),
         )
         n_segments = max(1, min(65536, auto))
     n_segments = max(n_segments, n_batches)

@@ -503,15 +503,22 @@ def merge_segments(
             from ..streaming.incremental import mask_tombstones
             ds = mask_tombstones(ds, tombs_in)
         (
-            # range-partition + sort by doc_ord: the keyless repartition
-            # here round-robined rows, destroying the ordinal clustering
-            # the stored-fields point-read relies on for row-group
-            # pruning (engine.search_df pushes an IN(doc_ord) literal;
-            # guide §6 — sort order on write determines reader skipping),
-            # and paying a hidden sort-before-repartition anyway
+            # cluster by doc_ord on write: the keyless repartition here
+            # round-robined rows, destroying the ordinal clustering the
+            # stored-fields point-read relies on for row-group pruning
+            # (guide §6 — sort order on write determines reader
+            # skipping). The range bucket comes straight from the known
+            # [lo, hi] victim span — no repartitionByRange, whose
+            # sampling pass would evaluate the masked scan twice.
             ds.withColumn("seg", F.lit(new_seg).cast("int"))
-            .repartitionByRange(max(1, n_par // 2), "doc_ord")
+            .withColumn(
+                "_rb",
+                ((F.col("doc_ord") - F.lit(int(lo)))
+                 * max(1, n_par // 2) / F.lit(int(hi - lo + 1))).cast("int"),
+            )
+            .repartition(max(1, n_par // 2), "_rb")
             .sortWithinPartitions("doc_ord")
+            .drop("_rb")
             .write.mode("overwrite")
             .parquet(os.path.join(stage, "doc_stats"))
         )

@@ -1382,23 +1382,6 @@ class DslSearcher:
         )
         if not top_rows:
             return empty
-        score_df = self.s.spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "doc_ord": np.asarray([r["doc_ord"] for r in top_rows], np.int64),
-                    "score": [float(r["score"]) for r in top_rows],
-                }
-            )
-        )
-        from ..planlimits import IN_LITERAL_MAX
-
-        base = self.s.doc_stats_df().select(
-            "doc_ord", "doc_id", "conv_id", "turn_idx", "role")
         ords = [int(r["doc_ord"]) for r in top_rows]
-        if len(ords) <= IN_LITERAL_MAX:
-            base = base.filter(F.col("doc_ord").isin(ords))
-        return (
-            base.join(F.broadcast(score_df), "doc_ord")
-            .select("doc_ord", "doc_id", "conv_id", "turn_idx", "role", "score")
-            .orderBy(F.desc("score"), F.asc("doc_ord"))
-        )
+        scores = {int(r["doc_ord"]): float(r["score"]) for r in top_rows}
+        return self.s._enrich_topk(ords, scores, empty)

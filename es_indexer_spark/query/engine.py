@@ -192,11 +192,13 @@ class IndexSearcher:
 
     _CACHE_MAX_TERMS = 4096
 
-    def _postings_pdf(self, terms: list[str]) -> pd.DataFrame:
-        """Posting chunks for the terms, via a per-term LRU cache (the
+    def _postings_map(self, terms: list[str]) -> dict[str, pd.DataFrame]:
+        """Posting chunks PER TERM, via a per-term LRU cache (the
         posting-list cache every IR engine keeps hot — repeated/hot query
         terms skip the parquet read entirely). Misses are fetched in one
-        pruned pyarrow scan."""
+        pruned pyarrow scan. Returning the per-term frames directly lets
+        ``_views`` skip the old concat-then-remask round trip (one
+        boolean scan of the concatenated frame per term per query)."""
         uniq = list(dict.fromkeys(terms))
         missing = [t for t in uniq if t not in self._chunk_cache]
         if missing:
@@ -209,19 +211,24 @@ class IndexSearcher:
             grouped = {t: g for t, g in pdf.groupby("term", sort=False)}
             for t in missing:
                 self._chunk_cache[t] = grouped.get(t, pdf.iloc[0:0])
-        parts = []
+        out = {}
         for t in uniq:
             got = self._chunk_cache.pop(t)  # re-insert → LRU recency order
             self._chunk_cache[t] = got
-            if len(got):
-                parts.append(got)
+            out[t] = got
         # evict only AFTER the current query's terms were touched — evicting
         # first could drop a hit term of this very query (KeyError) once the
         # cache is full in a long-lived searcher
         while len(self._chunk_cache) > self._CACHE_MAX_TERMS:
             self._chunk_cache.pop(next(iter(self._chunk_cache)))
+        return out
+
+    def _postings_pdf(self, terms: list[str]) -> pd.DataFrame:
+        """Concatenated posting chunks for the terms (see _postings_map)."""
+        got = self._postings_map(terms)
+        parts = [g for g in got.values() if len(g)]
         if not parts:
-            return next(iter(self._chunk_cache.values())).iloc[0:0] if self._chunk_cache else pd.DataFrame()
+            return next(iter(got.values())) if got else pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
     def _load_norms(self) -> dict:
@@ -285,11 +292,14 @@ class IndexSearcher:
         pdf: pd.DataFrame | None = None,
         term_boosts: dict[str, float] | None = None,
     ) -> list[scoring.TermView]:
-        pdf = self._postings_pdf(terms) if pdf is None else pdf
         tb = term_boosts or {}
+        if pdf is not None:
+            by_term = {t: pdf[pdf["term"] == t] for t in sorted(set(terms))}
+        else:
+            by_term = self._postings_map(sorted(set(terms)))
         views = []
         for t in sorted(set(terms)):
-            chunks = pdf[pdf["term"] == t]
+            chunks = by_term[t]
             views.append(
                 scoring.TermView(
                     t, chunks, int(chunks["df_chunk"].sum()), self.n_docs,
@@ -876,33 +886,55 @@ class IndexSearcher:
             .cogroup(doc_side.groupBy("seg"))
             .applyInPandas(lambda key, pq, dq: score_seg(pq, dq), out_schema)
         )
-        # The scored top-k is k rows — collect it and push the ordinals
-        # into the doc_stats scan as an IN-filter. A lazy join here would
-        # full-scan doc_stats per query (at 10^9 docs: the whole stored-
-        # fields table for k rows); doc_stats is written in doc_ord order,
-        # so the pushed literal prunes to <=k row groups — the stored-
-        # fields point-read every search engine does after scoring.
+        # The scored top-k is k rows — collect it, then attach the stored
+        # fields with a point-read. A lazy join here would full-scan
+        # doc_stats per query (at 10^9 docs: the whole stored-fields
+        # table for k rows).
         top_rows = local.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k).collect()
         if not top_rows:
             return empty
         ords = [int(r["doc_ord"]) for r in top_rows]
+        scores = {int(r["doc_ord"]): float(r["score"]) for r in top_rows}
+        return self._enrich_topk(ords, scores, empty)
+
+    def _enrich_topk(self, ords: list[int], scores: dict[int, float],
+                     empty: DataFrame) -> DataFrame:
+        """Stored-fields point-read for k scored ordinals — the fetch
+        phase after scoring. Below the shared plan-bloat threshold this
+        is a DRIVER-side pyarrow read (doc_stats is written doc_ord-
+        ordered, so the filter prunes to <=k row groups: ~20 ms vs
+        ~180 ms for the equivalent one-off Spark job — measured round 6;
+        the driver holds k rows, never the corpus) returned as a k-row
+        local relation. Past the threshold it stays the distributed
+        broadcast-join plan, which bounds the result without a giant
+        IN-literal."""
+        from ..planlimits import IN_LITERAL_MAX
+
+        if len(ords) <= IN_LITERAL_MAX:
+            import pyarrow.compute as pc2
+
+            pdf = self._doc_ds.to_table(
+                columns=["doc_ord", "doc_id", "conv_id", "turn_idx", "role"],
+                filter=pc2.field("doc_ord").isin(ords),
+            ).to_pandas()
+            pdf["score"] = pdf["doc_ord"].map(scores)
+            pdf = pdf.sort_values(
+                ["score", "doc_ord"], ascending=[False, True]
+            ).reset_index(drop=True)
+            return self.spark.createDataFrame(
+                pdf[["doc_ord", "doc_id", "conv_id", "turn_idx", "role",
+                     "score"]],
+                schema=empty.schema,
+            )
         score_df = self.spark.createDataFrame(
             pd.DataFrame(
                 {"doc_ord": np.asarray(ords, dtype=np.int64),
-                 "score": [float(r["score"]) for r in top_rows]}
+                 "score": [scores[o] for o in ords]}
             )
         )
-        from ..planlimits import IN_LITERAL_MAX
-
         base = self.doc_stats_df().select(
             "doc_ord", "doc_id", "conv_id", "turn_idx", "role"
         )
-        # the IN-literal is a pushdown optimization, not a requirement:
-        # past the SHARED plan-bloat threshold (planlimits.IN_LITERAL_MAX,
-        # same cutoff as the tombstone mask) skip it — the broadcast join
-        # below already bounds the result
-        if len(ords) <= IN_LITERAL_MAX:
-            base = base.filter(F.col("doc_ord").isin(ords))
         return (
             base
             .join(F.broadcast(score_df), "doc_ord")

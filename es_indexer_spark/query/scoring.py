@@ -60,6 +60,7 @@ class TermView:
         self.idf = float(bm25.idf(self.df, n_docs)) * self.boost
         self.chunks = chunks.reset_index(drop=True)
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._all_decoded: tuple[np.ndarray, np.ndarray] | None = None
         self.chunk_min = chunks["min_doc"].to_numpy(np.int64)
         self.chunk_max = chunks["max_doc"].to_numpy(np.int64)
 
@@ -104,13 +105,31 @@ class TermView:
         return got
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        if len(self.chunks) == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        parts = [self._decode_chunk(i) for i in range(len(self.chunks))]
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-        )
+        """All postings of the term in one decode pass: the byte buffers
+        of every chunk are joined and decoded with a SINGLE varint call
+        (chunk boundaries are run boundaries — each run's first gap is
+        absolute, and LEB128 is self-delimiting, so joint decode equals
+        per-chunk decode exactly). The per-chunk loop paid ~25 numpy
+        passes per chunk; a 50-term suggest expansion touches hundreds of
+        chunks per query (guide §1.2)."""
+        got = self._all_decoded
+        if got is None:
+            if len(self.chunks) == 0:
+                got = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            else:
+                doc_b = self.chunks["doc_bytes"].to_numpy(object)
+                tf_b = self.chunks["tf_bytes"].to_numpy(object)
+                rl = np.concatenate([
+                    np.asarray(x, dtype=np.int64)
+                    for x in self.chunks["run_lens"].to_numpy(object)
+                ])
+                run_starts = np.concatenate(([0], np.cumsum(rl)[:-1]))
+                gaps = codec.varint_decode(b"".join(doc_b))
+                docs = codec.delta_decode_multi(gaps, run_starts)
+                tfs = codec.varint_decode(b"".join(tf_b)).astype(np.int64)
+                got = (docs, tfs)
+            self._all_decoded = got
+        return got
 
     def gather(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         """Postings with lo <= doc_ord <= hi; decodes only touched chunks."""
@@ -164,20 +183,22 @@ def _score_gathered(
     if len(all_docs) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     uniq, inv = np.unique(all_docs, return_inverse=True)
-    scores = np.zeros(len(uniq), dtype=np.float64)
-    counts = np.zeros(len(uniq), dtype=np.int64)
-    off = 0
-    for v, (docs, tfs) in zip(views, gathered):
-        m = len(docs)
-        if m == 0:
-            continue
-        sl = inv[off : off + m]
-        dl = dl_of[docs - dl_base].astype(np.float64)
-        contrib = v.idf * bm25.tf_norm(tfs, dl, avgdl)
-        np.add.at(scores, sl, contrib)
-        np.add.at(counts, sl, 1)
-        off += m
+    # one flat vectorized pass + a single bincount instead of per-term
+    # np.add.at loops: add.at is an order of magnitude slower than
+    # bincount's sequential accumulate, and both add contributions in
+    # the same term-major array order, so float64 sums are bit-identical
+    # (50-term suggest expansions spent ~2/3 of their latency here —
+    # guide §1.2 per-task work)
+    all_tfs = np.concatenate([g[1] for g in gathered]).astype(np.float64)
+    lens = [len(g[0]) for g in gathered]
+    idf_flat = np.repeat(
+        np.asarray([v.idf for v in views], dtype=np.float64), lens
+    )
+    all_dl = dl_of[all_docs - dl_base].astype(np.float64)
+    contrib = idf_flat * bm25.tf_norm(all_tfs, all_dl, avgdl)
+    scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
     if mode == "and":
+        counts = np.bincount(inv, minlength=len(uniq))
         keep = counts == len(views)
         uniq, scores = uniq[keep], scores[keep]
     if deleted is not None and len(deleted) and len(uniq):

@@ -121,17 +121,34 @@ def test_tombstone_mask_heavy_churn_is_anti_join_not_in_literal(spark):
     assert out.count() == 50_000
 
 
-def test_search_df_enrichment_pushes_ordinal_pointread(searcher):
+def test_search_df_enrichment_is_bounded_pointread(searcher):
     """The distributed top-k's returned plan must be the k-row stored-
-    fields point-read: the scored ordinals pushed into the doc_stats scan
-    (row-group pruning), never a full-table join."""
+    fields fetch, never a lazy full-table join: below the plan-bloat
+    threshold the fetch already happened as a driver-side pyarrow
+    point-read (doc_stats is doc_ord-ordered, so the filter prunes to
+    <=k row groups) and the plan is a k-row LOCAL relation with no
+    parquet scan left in it; above the threshold it is the bounded
+    broadcast join."""
     df = searcher.search_df(["baco"], k=5)
     plan = _plan(df)
-    assert "doc_ord" in plan
-    # the scan carries the k-ordinal IN filter (e.g. "doc_ord#12L IN (...)")
-    import re
+    # no corpus rescan hides in the returned plan
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan[:2000]
+    assert "LocalTableScan" in plan or "LocalRelation" in plan, plan[:2000]
+    assert len(df.collect()) <= 5
+    # past the shared IN-literal threshold: distributed broadcast join,
+    # no giant literal in the plan
+    import es_indexer_spark.planlimits as pl
 
-    assert re.search(r"doc_ord#\d+L? IN \(", plan), plan[:2000]
+    old = pl.IN_LITERAL_MAX
+    pl.IN_LITERAL_MAX = 0
+    try:
+        df2 = searcher.search_df(["baco"], k=5)
+        plan2 = _plan(df2)
+        assert "Broadcast" in plan2
+        assert len(plan2) < 100_000
+        assert df2.collect() == df.collect()
+    finally:
+        pl.IN_LITERAL_MAX = old
 
 
 def _scan_num_files(df) -> int:
