@@ -671,19 +671,25 @@ def delete_where(spark: SparkSession, index_dir: str, predicate) -> int:
     if vdir is None:
         raise FileNotFoundError(f"no published index in {index_dir}")
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    root = os.path.join(vdir, "tombstones_pq")
-    nxt = 0
-    if os.path.isdir(root):
-        ids = [int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")]
-        nxt = max(ids) + 1 if ids else 0
     matched = (
         spark.read.parquet(os.path.join(vdir, "doc_stats"))
         .filter(cond)
         .select("doc_ord")
     )
+    return _write_tombstone_delta(vdir, matched)
+
+
+def _write_tombstone_delta(vdir: str, matched: DataFrame) -> int:
+    """Write a (doc_ord) DataFrame as the next executor-side parquet
+    tombstone delta (``tombstones_pq/batch=N``); returns the tombstoned
+    row count from parquet metadata — no ids ever cross the driver."""
+    root = os.path.join(vdir, "tombstones_pq")
+    nxt = 0
+    if os.path.isdir(root):
+        ids = [int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")]
+        nxt = max(ids) + 1 if ids else 0
     out = os.path.join(root, f"batch={nxt}")
     matched.write.mode("overwrite").parquet(out)
-    # count from the written files' parquet metadata — no row collect
     import pyarrow.dataset as pads
 
     return int(pads.dataset(out, format="parquet").count_rows())
@@ -730,14 +736,23 @@ def mask_tombstones(df: DataFrame, tombstones, threshold: int = TOMBSTONE_ISIN_M
 def upsert_docs(spark: SparkSession, df: DataFrame, index_dir: str) -> dict:
     """S11 single/multi-doc upsert: tombstone existing (conv_id, turn_idx)
     versions, then append the new turns (``_id``-keyed update semantics of
-    ``IndexerMetadataServiceImpl.java:429-435``)."""
-    from ..corpus import with_doc_ids
+    ``IndexerMetadataServiceImpl.java:429-435``).
 
-    # driver-side collect is bounded by the INCOMING upsert batch (the
-    # reference's single/small-batch upsert surface), never the index:
-    # distinct doc_ids of `df` only — O(batch), not O(corpus)
-    ids = [r["doc_id"] for r in with_doc_ids(df).select("doc_id").distinct().collect()]
-    deleted = delete_docs(spark, index_dir, ids)
+    Driver-free: the old versions' ordinals come from a broadcast
+    semi-join of doc_stats against the incoming batch's keys and land as
+    an executor-side parquet tombstone delta (the ``delete_where``
+    store) — no O(batch-ids) collect, so a giant bulk upsert never
+    routes ids through the driver (round-5 review item)."""
+    vdir = catalog.current_version_dir(index_dir)
+    if vdir is None:
+        raise FileNotFoundError(f"no published index in {index_dir}")
+    keys = df.select("conv_id", "turn_idx").distinct()
+    matched = (
+        spark.read.parquet(os.path.join(vdir, "doc_stats"))
+        .join(F.broadcast(keys), ["conv_id", "turn_idx"], "left_semi")
+        .select("doc_ord")
+    )
+    deleted = _write_tombstone_delta(vdir, matched)
     out = append_batch(spark, df, index_dir)
     out["tombstoned"] = deleted
     return out

@@ -93,6 +93,16 @@ _DEDUP_PASS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "fingerprint
 # finding). Membership is two vectorized searchsorted passes on the hi
 # half; equal-hi runs longer than one (true 64-bit collisions between
 # distinct docs) fall to a loop that is empty in practice.
+#
+# BREAKING STATE-SCHEMA CHANGE (round 5): the state used to be ONE
+# 64-bit array ('seen'); a stream resuming from a pre-round-5 checkpoint
+# fails Spark's state-schema validation on restart (loud, by design —
+# silently reinterpreting truncated hashes as the hi half would corrupt
+# membership). Recovery procedure: start the stream with a FRESH
+# checkpointLocation and run `rebuild_compacted` on the target index
+# first — the compacted index carries no append checkpoints, so the new
+# stream's epoch 0 cannot collide with the old stream's committed
+# epochs (the stream_id guard in append_batch would otherwise refuse).
 _DEDUP_STATE = T.StructType(
     [
         T.StructField("seen_hi", T.ArrayType(T.LongType())),
