@@ -183,12 +183,19 @@ def assign_doc_ordinals(
     standard layout, or the seeded synthetic corpus (conversation ranges
     per partition). The counting pass is then the only extra traversal.
     """
+    src = None
     if assume_sorted:
         part = df.withColumn("_pid", F.spark_partition_id())
     else:
+        # evaluate the input ONCE: the range partitioner's sampling pass
+        # and the exchange itself would each re-run the source plan
+        # (guide §2.3/§5 — for a generator/join/union source that is the
+        # whole input computed twice); the cache is dropped as soon as
+        # the shuffled+persisted `part` is materialized below
+        src = df.persist(StorageLevel.MEMORY_AND_DISK)
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         part = (
-            df.repartitionByRange(n, *key_cols)
+            src.repartitionByRange(n, *key_cols)
             .sortWithinPartitions(*key_cols)
             .withColumn("_pid", F.spark_partition_id())
         )
@@ -228,6 +235,8 @@ def assign_doc_ordinals(
                 "doc_ord enumeration would be corrupt; update the decode in "
                 "assign_doc_ordinals"
             )
+    if src is not None:  # `part` is materialized by the guard collect
+        src.unpersist()
     counts = {r["_pid"]: r["cnt"] for r in _guard_rows}
     offsets: dict[int, int] = {}
     acc = 0
