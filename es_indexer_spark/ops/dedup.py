@@ -339,7 +339,7 @@ def minhash_lsh_pairs(
         # broadcast subtrees, so without this the whole MinHash pass
         # re-runs per leg. localCheckpoint truncates the lineage; the
         # blocks are freed with the DataFrame (guide §3.3/§5).
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # exact verify on candidates only: shingle ONLY the docs that appear
     # in some candidate pair (a pushed semi-join before the tokenizer) —
