@@ -312,55 +312,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # candidate pairs by ONE aggregation per (band, bucket), pairs exploded
-    # from each bucket's sorted member set — not a banded self-join: the
-    # self-join evaluated the signature mapInPandas once per side (the
-    # whole MinHash pass ran twice) and shuffled both copies (guide
-    # §2.3/§2.4). Pair output is identical (id_a < id_b, deduped across
-    # bands); generation streams through explode, so a hot bucket costs
-    # what its quadratic candidate set inherently costs, no more.
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select(
-            "id_a",
-            F.explode(
-                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
-            ).alias("id_b"),
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .distinct()
-        # materialize the (small, output-bounded) candidate set once:
-        # it feeds three plan legs below (verify probe + two id
-        # restrictions) and exchange reuse does not reach through the
-        # broadcast subtrees, so without this the whole MinHash pass
-        # re-runs per leg. localCheckpoint truncates the lineage; the
-        # blocks are freed with the DataFrame (guide §3.3/§5).
-        .localCheckpoint(eager=False)
-    )
-    # exact verify on candidates only: shingle ONLY the docs that appear
-    # in some candidate pair (a pushed semi-join before the tokenizer) —
-    # the full-corpus shingle pass ran twice here before, once per join
-    # side
-    pair_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    cand_docs = df.join(
-        F.broadcast(pair_ids), df[id_col] == pair_ids["id"], "left_semi"
-    )
-    sh = with_shingles(cand_docs, n).select(
+    # exact verify on candidates only
+    sh = with_shingles(df, n).select(
         F.col(id_col).alias("id"), F.array_distinct(F.col("_sh")).alias("sh")
     )
     verified = (
-        cand.join(F.broadcast(
-            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")), "id_a")
-        .join(F.broadcast(
-            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")), "id_b")
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
