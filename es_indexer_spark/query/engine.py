@@ -608,8 +608,13 @@ class IndexSearcher:
 
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         """Corpus-wide df per query term (idf is a global statistic). A
-        pruned scan of term_stats (PushedFilters: term IN (...)) returning
-        len(terms) rows — never the full dictionary."""
+        pruned driver-side pyarrow read of term_stats (tlen partition
+        pruning + term filter) returning len(terms) rows — never the full
+        dictionary, and no Spark job: the former pruned-Spark-filter
+        collect cost a whole job's scheduling per cold term set (the
+        ~0.12 s df-lookup leg of the per-query floor decomposed in
+        BENCH_NOTES round 5). Driver state stays O(query terms), the same
+        bound as the stored-fields point-read."""
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             got = {t: 0 for t in missing}
@@ -620,16 +625,22 @@ class IndexSearcher:
             else:
                 from ..index.build import TLEN_CAP
 
-                td = self._term_stats_sdf()
-                if "tlen" in td.columns:  # partition-prune to query lengths
-                    lens = sorted({min(len(t), TLEN_CAP) for t in missing})
-                    td = td.filter(F.col("tlen").isin(lens))
-                rows = (
-                    td.filter(F.col("term").isin(missing))
-                    .select("term", "df")
-                    .collect()
+                self._check_dictionary_snapshot()
+                ds = pads.dataset(
+                    self.term_stats_path, partitioning="hive",
+                    format="parquet",
                 )
-                got.update({r["term"]: int(r["df"]) for r in rows})
+                filt = pc.field("term").isin(missing)
+                if "tlen" in ds.schema.names:  # partition-prune to lengths
+                    lens = sorted({min(len(t), TLEN_CAP) for t in missing})
+                    filt = filt & pc.field("tlen").isin(lens)
+                tbl = ds.to_table(columns=["term", "df"], filter=filt)
+                got.update({
+                    t: int(d) for t, d in zip(
+                        tbl.column("term").to_pylist(),
+                        tbl.column("df").to_pylist(),
+                    )
+                })
             self._df_cache.update(got)
         return {t: self._df_cache[t] for t in terms}
 
